@@ -1,0 +1,89 @@
+"""Grid<->image transform tests (strategy mirrors reference test_image.py:
+explicit fftshift/w-phase/taper math, and inverse-consistency)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from katsdpimager_tpu.ops import fourier
+
+
+def setup_case(rng, pixels=64, pols=2, pixel_size=1e-3):
+    grid = (rng.normal(size=(pols, pixels, pixels))
+            + 1j * rng.normal(size=(pols, pixels, pixels))).astype(np.complex64)
+    kernel1d = rng.uniform(0.5, 1.5, size=pixels).astype(np.float32)
+    return grid, kernel1d
+
+
+class TestGridToImage:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(5)
+        pixels, pixel_size = 64, 1e-3
+        grid, kernel1d = setup_case(rng, pixels)
+        w = 12.5
+        image0 = rng.normal(size=grid.shape).astype(np.float32)
+
+        expected = fourier.grid_to_image_reference(
+            grid, image0.astype(np.float64), kernel1d, w, pixel_size)
+        out = fourier.grid_to_image(
+            jnp.asarray(grid), jnp.asarray(image0), jnp.asarray(kernel1d),
+            jnp.float32(w), pixels=pixels, pixel_size=pixel_size)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-3, atol=1e-3)
+
+    def test_point_source_at_centre(self):
+        """A flat grid (constant 1) IFFTs to a delta at the corner; after
+        fftshift the peak must be at the centre pixel (N/2, N/2)."""
+        pixels = 32
+        grid = np.ones((1, pixels, pixels), np.complex64)
+        kernel1d = np.ones(pixels, np.float32)
+        out = np.asarray(fourier.grid_to_image(
+            jnp.asarray(grid), jnp.zeros((1, pixels, pixels), jnp.float32),
+            jnp.asarray(kernel1d), jnp.float32(0.0),
+            pixels=pixels, pixel_size=1e-4))
+        peak = np.unravel_index(np.argmax(out[0]), out[0].shape)
+        assert peak == (pixels // 2, pixels // 2)
+        np.testing.assert_allclose(out[0, 16, 16], pixels * pixels, rtol=1e-5)
+
+
+class TestRoundTrip:
+    def test_image_to_grid_to_image(self):
+        """grid -> image -> grid with w=0: because the taper is divided in
+        both directions, round-tripping image_to_grid(grid_to_image(g))
+        applies 1/taper^2 in image space; verify the known relationship on a
+        smooth image instead: forward then inverse of image_to_grid."""
+        rng = np.random.default_rng(9)
+        pixels, pixel_size = 64, 1e-4
+        # Smooth real image
+        y = np.hanning(pixels)
+        img = np.outer(y, y)[None].astype(np.float32) * 3.0
+        kernel1d = np.full(pixels, 1.0, np.float32)
+        w = 7.0
+
+        grid = fourier.image_to_grid(
+            jnp.asarray(img), jnp.asarray(kernel1d), jnp.float32(w),
+            pixels=pixels, pixel_size=pixel_size)
+        # Manually invert: with kernel=1, layer->image multiplies by n and
+        # w phase; image_to_layer divided by n. Round trip must recover
+        # img * (1/n) * n = img exactly (up to fft scale).
+        out = np.asarray(fourier.grid_to_image(
+            grid / (pixels * pixels), jnp.zeros_like(jnp.asarray(img)),
+            jnp.asarray(kernel1d), jnp.float32(w),
+            pixels=pixels, pixel_size=pixel_size))
+        np.testing.assert_allclose(out, img, rtol=1e-4, atol=1e-4)
+
+
+class TestElementwise:
+    def test_scale_and_add(self):
+        img = jnp.ones((2, 4, 4))
+        out = np.asarray(fourier.scale_image(img, jnp.asarray([2.0, 3.0])))
+        assert out[0, 0, 0] == 2.0 and out[1, 0, 0] == 3.0
+        out2 = np.asarray(fourier.add_image(img, img))
+        assert out2[0, 0, 0] == 2.0
+
+    def test_apply_primary_beam(self):
+        img = jnp.ones((1, 2, 2))
+        beam = jnp.array([[1.0, 0.5], [0.05, 0.2]])
+        out = np.asarray(fourier.apply_primary_beam(img, beam, 0.1, jnp.nan))
+        assert out[0, 0, 0] == 1.0
+        assert out[0, 0, 1] == 2.0
+        assert np.isnan(out[0, 1, 0])
+        assert out[0, 1, 1] == 5.0
