@@ -1,0 +1,67 @@
+"""Benchmark harness: gridding + FFT throughput per chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline", ...}``.
+
+The metric is compressed visibilities gridded per second per chip through
+the full dirty-image step (convolutional gridding with W kernels + FFT +
+W-correction), i.e. the BASELINE's "Mvis gridded/sec/chip".  The reference
+publishes no absolute number (BASELINE.md); it measures the same workload
+as GGAPS = N_vis * kernel_width^2 * n_pols / t (tests/imager_bench.py:166-208).
+``vs_baseline`` is measured GGAPS relative to 1.0 GGAPS, a representative
+figure for the reference's CUDA gridder on a datacentre GPU of its era.
+
+Workload: 4k-pixel single-pol image, kernel width 60, oversample 8, 32 W
+planes, 2 W slices (BASELINE config 2 scale).
+"""
+
+import json
+import time
+
+import jax
+
+
+def main():
+    from katsdpimager_tpu.parallel.multichannel import (
+        MultiChannelConfig, make_example_batch, single_channel_step,
+    )
+
+    cfg = MultiChannelConfig(
+        pixels=4096, num_pols=1, kernel_width=60, oversample=8,
+        w_planes=32, w_slices=2, vis_per_slice=1 << 19, minor_cycles=0)
+    batch = make_example_batch(cfg, 1)
+    args = (batch.kernel[0], batch.taper1d[0], batch.pixel_size[0],
+            batch.mid_w[0], batch.uv[0], batch.sub_uv[0],
+            batch.w_plane[0], batch.weights[0], batch.vis[0])
+    fn = jax.jit(single_channel_step(cfg))
+
+    # Warmup / compile
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    iters = 3
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - start) / iters
+
+    num_vis = cfg.w_slices * cfg.vis_per_slice
+    mvis_per_s = num_vis / elapsed / 1e6
+    ggaps = num_vis * cfg.kernel_width ** 2 * cfg.num_pols / elapsed / 1e9
+
+    print(json.dumps({
+        "metric": "Mvis_gridded_per_sec_per_chip",
+        "value": round(mvis_per_s, 3),
+        "unit": "Mvis/s",
+        "vs_baseline": round(ggaps / 1.0, 3),
+        "ggaps": round(ggaps, 3),
+        "elapsed_s": round(elapsed, 4),
+        "num_vis": num_vis,
+        "pixels": cfg.pixels,
+        "kernel_width": cfg.kernel_width,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -200,7 +200,8 @@ class Imaging:
         """FFT the model image to a grid for degridding."""
         return fourier.image_to_grid(
             self.model, self.taper1d, jnp.asarray(w, self._rdtype),
-            pixels=self.pixels, pixel_size=float(self.image_p.pixel_size))
+            jnp.asarray(self.image_p.pixel_size, self._rdtype),
+            pixels=self.pixels)
 
     def continuum_predict(self, chunk, vis, w_slice: int):
         return self.predict_chunk(chunk, vis, w_slice, self._sky_lmn,
@@ -217,7 +218,8 @@ class Imaging:
         self.dirty = fourier.grid_to_image(
             self.grid, self.dirty, self.taper1d,
             jnp.asarray(self.mid_w[w_slice], self._rdtype),
-            pixels=self.pixels, pixel_size=float(self.image_p.pixel_size))
+            jnp.asarray(self.image_p.pixel_size, self._rdtype),
+            pixels=self.pixels)
 
     # ------------------------------------------------------------------
     # normalisation / PSF

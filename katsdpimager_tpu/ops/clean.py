@@ -199,9 +199,8 @@ def residual_image(cfg: CleanConfig, state: CleanState):
     return state.residual[:, pad:pad + cfg.pixels, pad:pad + cfg.pixels]
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_cycles"))
-def minor_cycles(cfg: CleanConfig, state: CleanState, psf_patch_arr,
-                 threshold, max_cycles: int):
+def minor_cycles_impl(cfg: CleanConfig, state: CleanState, psf_patch_arr,
+                      threshold, max_cycles: int):
     """Run up to ``max_cycles`` minor cycles on device.
 
     Stops (without subtracting) when the peak metric drops below
@@ -255,3 +254,8 @@ def minor_cycles(cfg: CleanConfig, state: CleanState, psf_patch_arr,
     state, k, first_peak, last_peak, _ = jax.lax.while_loop(
         cond, body, (state, jnp.int32(0), zero, zero, jnp.bool_(False)))
     return state, k, first_peak, last_peak
+
+
+#: Jitted single-channel entry point.
+minor_cycles = partial(jax.jit,
+                       static_argnames=("cfg", "max_cycles"))(minor_cycles_impl)

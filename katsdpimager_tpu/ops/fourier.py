@@ -32,13 +32,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _lm_grids(pixels: int, pixel_size: float, dtype):
+def _lm_grids(pixels: int, pixel_size, dtype):
     """Return (n - 1) and n over the *unshifted* (corner-centred) layer
     layout, plus the centred taper-normalisation layout handled separately.
 
     lm(x) = lm_scale * x + lm_bias with lm_scale = pixel_size and
     lm_bias = -pixels/2 * pixel_size (reference imaging.py:90-91).
     """
+    pixel_size = jnp.asarray(pixel_size, dtype)
     lm = (jnp.arange(pixels, dtype=dtype) * pixel_size
           - 0.5 * pixels * pixel_size)
     lm = jnp.fft.ifftshift(lm)
@@ -47,8 +48,7 @@ def _lm_grids(pixels: int, pixel_size: float, dtype):
     return n
 
 
-@partial(jax.jit, static_argnames=("pixels", "pixel_size"), donate_argnums=(1,))
-def grid_to_image(grid, image, kernel1d, w, *, pixels: int, pixel_size: float):
+def grid_to_image_impl(grid, image, kernel1d, w, pixel_size, *, pixels: int):
     """IFFT the grid and accumulate the W-corrected layer into ``image``.
 
     grid: (P, N, N) complex; image: (P, N, N) real (donated, accumulated);
@@ -66,8 +66,12 @@ def grid_to_image(grid, image, kernel1d, w, *, pixels: int, pixel_size: float):
     return image + (contrib / taper2).astype(rdtype)
 
 
-@partial(jax.jit, static_argnames=("pixels", "pixel_size"))
-def image_to_grid(image, kernel1d, w, *, pixels: int, pixel_size: float):
+#: Jitted single-channel entry point (image buffer donated).
+grid_to_image = partial(jax.jit, static_argnames=("pixels",),
+                        donate_argnums=(1,))(grid_to_image_impl)
+
+
+def image_to_grid_impl(image, kernel1d, w, pixel_size, *, pixels: int):
     """Forward transform of ``grid_to_image`` (for degridding prediction).
 
     Returns the (P, N, N) complex grid with centre at the middle.
@@ -81,6 +85,10 @@ def image_to_grid(image, kernel1d, w, *, pixels: int, pixel_size: float):
     layer = layer_shifted * (jnp.cos(phase) + 1j * jnp.sin(phase))
     grid = jnp.fft.fft2(layer, axes=(-2, -1))
     return jnp.fft.fftshift(grid, axes=(-2, -1))
+
+
+#: Jitted single-channel entry point.
+image_to_grid = partial(jax.jit, static_argnames=("pixels",))(image_to_grid_impl)
 
 
 @jax.jit

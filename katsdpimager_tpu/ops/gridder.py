@@ -37,8 +37,7 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("pixels",), donate_argnums=(0,))
-def grid_vis(grid, kernel, weights_grid, uv, sub_uv, w_plane, vis, *, pixels: int):
+def grid_vis_impl(grid, kernel, weights_grid, uv, sub_uv, w_plane, vis, *, pixels: int):
     """Accumulate visibilities onto the UV grid.
 
     Parameters
@@ -81,8 +80,12 @@ def grid_vis(grid, kernel, weights_grid, uv, sub_uv, w_plane, vis, *, pixels: in
     return jax.lax.fori_loop(0, K, body, grid, unroll=False)
 
 
-@partial(jax.jit, static_argnames=("pixels",), donate_argnums=(6,))
-def degrid_vis(grid, kernel, uv, sub_uv, w_plane, weights, vis, *, pixels: int):
+#: Jitted single-channel entry point (grid buffer donated).
+grid_vis = partial(jax.jit, static_argnames=("pixels",),
+                   donate_argnums=(0,))(grid_vis_impl)
+
+
+def degrid_vis_impl(grid, kernel, uv, sub_uv, w_plane, weights, vis, *, pixels: int):
     """Predict visibilities from the grid and subtract in place.
 
     ``vis`` (donated) is updated to ``vis - weights * predicted``; padding
@@ -108,6 +111,11 @@ def degrid_vis(grid, kernel, uv, sub_uv, w_plane, weights, vis, *, pixels: int):
         0, K, body, jnp.zeros((vis.shape[0], P), grid.dtype), unroll=False
     )
     return vis - weights * predicted.astype(vis.dtype)
+
+
+#: Jitted single-channel entry point (vis buffer donated).
+degrid_vis = partial(jax.jit, static_argnames=("pixels",),
+                     donate_argnums=(6,))(degrid_vis_impl)
 
 
 def grid_vis_reference(grid, kernel, weights_grid, uv, sub_uv, w_plane, vis):

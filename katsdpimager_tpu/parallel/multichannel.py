@@ -1,0 +1,239 @@
+"""Channel- and visibility-sharded imaging step.
+
+The full per-channel pipeline — weight gridding, uniform density weights,
+convolutional gridding per W slice, FFT + W-correction accumulation, and
+batched CLEAN minor cycles — expressed as ONE jitted function over stacked
+per-channel arrays, shard_mapped over a ``("chan", "vis")`` mesh:
+
+- every ``[C, ...]`` input/output is sharded over ``chan`` (pure data
+  parallelism; zero communication);
+- the visibility axis ``M`` is sharded over ``vis``: each shard grids its
+  visibilities locally, and per-slice grids (and the weight grid) are
+  reduced with ``lax.psum`` over ``vis`` — the BASELINE's "visibility
+  buckets + psum image reduction" configuration.
+
+All shapes are static: channels in one batch share (pixels, kernel_width,
+oversample, w_slices, padded vis-per-slice); per-channel physics
+(wavelength-dependent pixel size, kernel tables, mid-w values) are traced
+array inputs, so one compilation serves every channel batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import clean as clean_ops
+from ..ops.fourier import grid_to_image_impl
+from ..ops.gridder import grid_vis_impl
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiChannelConfig:
+    """Static geometry shared by all channels of a batch."""
+
+    pixels: int
+    num_pols: int
+    kernel_width: int
+    oversample: int
+    w_planes: int
+    w_slices: int
+    vis_per_slice: int
+    # CLEAN stage (0 minor cycles disables it)
+    minor_cycles: int = 0
+    patch: int = 33
+    border_pixels: int = 0
+    loop_gain: float = 0.1
+    clean_mode: int = clean_ops.CLEAN_I
+
+    @property
+    def clean_cfg(self) -> clean_ops.CleanConfig:
+        return clean_ops.CleanConfig(
+            pixels=self.pixels, num_pols=self.num_pols,
+            border_pixels=self.border_pixels, patch_y=self.patch,
+            patch_x=self.patch, mode=self.clean_mode,
+            loop_gain=self.loop_gain)
+
+
+class ChannelBatch(NamedTuple):
+    """Stacked per-channel inputs (leading axis C = channels)."""
+
+    kernel: jnp.ndarray       # (C, W, O, K) complex64
+    taper1d: jnp.ndarray      # (C, N) real
+    pixel_size: jnp.ndarray   # (C,) real
+    mid_w: jnp.ndarray        # (C, S) real
+    uv: jnp.ndarray           # (C, S, M, 2) int16  (centred)
+    sub_uv: jnp.ndarray       # (C, S, M, 2) int16
+    w_plane: jnp.ndarray      # (C, S, M) int16
+    weights: jnp.ndarray      # (C, S, M, P) float32
+    vis: jnp.ndarray          # (C, S, M, P) complex64
+
+
+def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
+                      mid_w, uv, sub_uv, w_plane, weights, vis, vis_axis):
+    """One channel's full step on this shard's visibilities.
+
+    ``vis_axis`` is the mesh axis name for psum reductions (or None when
+    running unsharded).
+    """
+    N = cfg.pixels
+    Pp = cfg.num_pols
+    psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
+                                                          axis_name=vis_axis)
+
+    # ---- imaging weights: uniform density (d = 1/W per occupied cell)
+    half = N // 2
+    flat_uv = uv.reshape(-1, 2)
+    flat_w = weights.reshape(-1, Pp)
+    wgrid = jnp.zeros((Pp, N, N), jnp.float32)
+    wgrid = wgrid.at[:, flat_uv[:, 1].astype(jnp.int32) + half,
+                     flat_uv[:, 0].astype(jnp.int32) + half].add(
+        flat_w.T, mode="drop")
+    wgrid = psum(wgrid)
+    density = jnp.where(wgrid > 0, 1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
+
+    # ---- W-stacked dirty image
+    def body(dirty, xs):
+        uv_s, sub_s, wp_s, vis_s, w_mid = xs
+        grid = jnp.zeros((Pp, N, N), vis.dtype)
+        grid = grid_vis_impl(grid, kernel, density, uv_s, sub_s, wp_s, vis_s,
+                             pixels=N)
+        grid = psum(grid)
+        dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
+                                   pixels=N)
+        return dirty, None
+
+    dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
+    dirty, _ = jax.lax.scan(
+        body, dirty0,
+        (uv, sub_uv, w_plane, vis, mid_w))
+
+    if cfg.minor_cycles == 0:
+        return dirty, jnp.zeros_like(dirty)
+
+    # ---- CLEAN minor cycles (channel-local: no cross-shard work)
+    ccfg = cfg.clean_cfg
+    pk = dirty[:, N // 2, N // 2]
+    scale = jnp.where(pk != 0, 1.0 / jnp.where(pk != 0, pk, 1.0), 0.0)
+    # The PSF here is approximated by the central patch of the dirty beam
+    # of this channel: grid the weights as "visibilities" cheaply by reusing
+    # the dirty image normalisation (full PSF handling lives in the
+    # orchestration layer; this step benchmarks the device loop).
+    patch = jax.lax.dynamic_slice(
+        dirty * scale[:, None, None],
+        (0, N // 2 - cfg.patch // 2, N // 2 - cfg.patch // 2),
+        (Pp, cfg.patch, cfg.patch))
+    pad = ccfg.pad
+    res_pad = jnp.pad(dirty, ((0, 0), (pad, pad), (pad, pad)))
+    T = ccfg.tiles
+    state = clean_ops.CleanState(
+        res_pad, jnp.zeros_like(dirty),
+        jnp.zeros((T, T), dirty.dtype), jnp.zeros((T, T, 2), jnp.int32))
+    state = clean_ops.reset(ccfg, state)
+    state, _k, _first, _last = clean_ops.minor_cycles_impl(
+        ccfg, state, patch, jnp.zeros((), dirty.dtype), cfg.minor_cycles)
+    residual = clean_ops.residual_image(ccfg, state)
+    return residual, state.model
+
+
+def make_imaging_step(mesh: Mesh, cfg: MultiChannelConfig):
+    """Build the jitted, sharded multi-channel imaging step.
+
+    Returns ``step(batch: ChannelBatch) -> (residual, model)`` with all
+    ``[C, ...]`` arrays sharded over the ``chan`` mesh axis and the
+    visibility axis sharded over ``vis``.
+    """
+    shard_map = jax.shard_map
+
+    def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+                 weights, vis):
+        def one(args):
+            return _channel_pipeline(cfg, *args, vis_axis="vis")
+
+        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
+                              sub_uv, w_plane, weights, vis))
+
+    chan = P("chan")
+    vis_spec = P("chan", None, "vis")          # (C, S, M, ...)
+    vis_spec2 = P("chan", None, "vis", None)
+    in_specs = (chan, chan, chan, chan, vis_spec2, vis_spec2, vis_spec,
+                vis_spec2, vis_spec2)
+    out_specs = (chan, chan)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    jitted = jax.jit(fn)
+
+    def step(batch: ChannelBatch):
+        return jitted(batch.kernel, batch.taper1d, batch.pixel_size,
+                      batch.mid_w, batch.uv, batch.sub_uv, batch.w_plane,
+                      batch.weights, batch.vis)
+
+    return step
+
+
+def single_channel_step(cfg: MultiChannelConfig):
+    """Unsharded single-channel forward (for compile checks / benchmarks).
+
+    Returns a jittable ``fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv,
+    w_plane, weights, vis) -> (residual, model)``.
+    """
+
+    def fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+           weights, vis):
+        return _channel_pipeline(cfg, kernel, taper1d, pixel_size, mid_w,
+                                 uv, sub_uv, w_plane, weights, vis,
+                                 vis_axis=None)
+
+    return fn
+
+
+def make_example_batch(cfg: MultiChannelConfig, num_channels: int,
+                       seed: int = 0, base_frequency: float = 1.0e9):
+    """Synthesize a valid ChannelBatch for compile checks and benchmarks."""
+    from .. import parameters, polarization
+    from ..ops import wkernel
+    from ..units import C_M_PER_S
+
+    rng = np.random.default_rng(seed)
+    C, S, M = num_channels, cfg.w_slices, cfg.vis_per_slice
+    N, K, O, Pp = cfg.pixels, cfg.kernel_width, cfg.oversample, cfg.num_pols
+
+    kernels = np.empty((C, cfg.w_planes, O, K), np.complex64)
+    tapers = np.empty((C, N), np.float32)
+    pixel_sizes = np.empty((C,), np.float32)
+    mid_ws = np.empty((C, S), np.float32)
+    fixed = parameters.FixedImageParameters((polarization.STOKES_I,) * Pp)
+    fgp = parameters.FixedGridParameters(
+        antialias_width=7.0, oversample=O, image_oversample=4,
+        max_w=1000.0, kernel_width=K)
+    gp = parameters.GridParameters(fgp, S, cfg.w_planes)
+    for c in range(C):
+        freq = base_frequency * (1 + 0.01 * c)
+        wavelength = C_M_PER_S / freq
+        ip = parameters.ImageParameters(fixed, wavelength,
+                                        pixel_size=1.0 / (N * 16), pixels=N)
+        kernels[c] = wkernel.make_convolution_kernel(ip, gp)
+        tapers[c] = wkernel.taper(N, 7.0, O).astype(np.float32)
+        pixel_sizes[c] = ip.pixel_size
+        mid_ws[c] = wkernel.mid_w_values(ip, gp).astype(np.float32)
+
+    lim = N // 2 - K - 1
+    uv = rng.integers(-lim, lim, size=(C, S, M, 2)).astype(np.int16)
+    sub_uv = rng.integers(0, O, size=(C, S, M, 2)).astype(np.int16)
+    w_plane = rng.integers(0, cfg.w_planes, size=(C, S, M)).astype(np.int16)
+    weights = rng.uniform(0.5, 2.0, size=(C, S, M, Pp)).astype(np.float32)
+    vis = (rng.normal(size=(C, S, M, Pp))
+           + 1j * rng.normal(size=(C, S, M, Pp))).astype(np.complex64)
+    return ChannelBatch(
+        kernel=jnp.asarray(kernels), taper1d=jnp.asarray(tapers),
+        pixel_size=jnp.asarray(pixel_sizes), mid_w=jnp.asarray(mid_ws),
+        uv=jnp.asarray(uv), sub_uv=jnp.asarray(sub_uv),
+        w_plane=jnp.asarray(w_plane), weights=jnp.asarray(weights),
+        vis=jnp.asarray(vis))

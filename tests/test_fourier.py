@@ -26,7 +26,7 @@ class TestGridToImage:
             grid, image0.astype(np.float64), kernel1d, w, pixel_size)
         out = fourier.grid_to_image(
             jnp.asarray(grid), jnp.asarray(image0), jnp.asarray(kernel1d),
-            jnp.float32(w), pixels=pixels, pixel_size=pixel_size)
+            jnp.float32(w), jnp.float32(pixel_size), pixels=pixels)
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-3, atol=1e-3)
 
     def test_point_source_at_centre(self):
@@ -37,8 +37,8 @@ class TestGridToImage:
         kernel1d = np.ones(pixels, np.float32)
         out = np.asarray(fourier.grid_to_image(
             jnp.asarray(grid), jnp.zeros((1, pixels, pixels), jnp.float32),
-            jnp.asarray(kernel1d), jnp.float32(0.0),
-            pixels=pixels, pixel_size=1e-4))
+            jnp.asarray(kernel1d), jnp.float32(0.0), jnp.float32(1e-4),
+            pixels=pixels))
         peak = np.unravel_index(np.argmax(out[0]), out[0].shape)
         assert peak == (pixels // 2, pixels // 2)
         np.testing.assert_allclose(out[0, 16, 16], pixels * pixels, rtol=1e-5)
@@ -60,14 +60,14 @@ class TestRoundTrip:
 
         grid = fourier.image_to_grid(
             jnp.asarray(img), jnp.asarray(kernel1d), jnp.float32(w),
-            pixels=pixels, pixel_size=pixel_size)
+            jnp.float32(pixel_size), pixels=pixels)
         # Manually invert: with kernel=1, layer->image multiplies by n and
         # w phase; image_to_layer divided by n. Round trip must recover
         # img * (1/n) * n = img exactly (up to fft scale).
         out = np.asarray(fourier.grid_to_image(
             grid / (pixels * pixels), jnp.zeros_like(jnp.asarray(img)),
-            jnp.asarray(kernel1d), jnp.float32(w),
-            pixels=pixels, pixel_size=pixel_size))
+            jnp.asarray(kernel1d), jnp.float32(w), jnp.float32(pixel_size),
+            pixels=pixels))
         np.testing.assert_allclose(out, img, rtol=1e-4, atol=1e-4)
 
 
