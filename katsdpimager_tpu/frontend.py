@@ -114,19 +114,17 @@ def make_dirty(reader, rel_channel, name, field, imager, vis_block,
         if reader.len(rel_channel, w_slice) == 0:
             continue
         imager.clear_grid()
-        model_grid = None
-        if full_cycle and degrid:
-            model_grid = imager.model_to_grid(imager.mid_w[w_slice])
-        for chunk in reader.iter_slice(rel_channel, w_slice, vis_block):
-            vis = chunk[field]
-            if subtract_model:
-                vis = imager.continuum_predict(chunk, vis, w_slice)
-            if full_cycle:
-                if degrid:
-                    vis = imager.degrid_chunk(chunk, vis, model_grid)
-                else:
-                    vis = imager.model_predict(chunk, vis, w_slice)
-            imager.grid_chunk(chunk, vis)
+        chunk = reader.slice_arrays(rel_channel, w_slice)
+        vis = chunk[field]
+        if subtract_model:
+            vis = imager.continuum_predict(chunk, vis, w_slice)
+        if full_cycle:
+            if degrid:
+                model_grid = imager.model_to_grid(imager.mid_w[w_slice])
+                vis = imager.degrid_slice(chunk, vis, model_grid, w_slice)
+            else:
+                vis = imager.model_predict(chunk, vis, w_slice)
+        imager.grid_slice(chunk, vis, w_slice)
         imager.grid_to_image(w_slice)
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from . import parameters
 from .ops import beam as beam_ops
 from .ops import clean as clean_ops
-from .ops import fourier, gridder, predict, wkernel
+from .ops import fourier, gridder, mxu_gridder, predict, wkernel
 from .ops import weights as weight_ops
 
 
@@ -98,6 +98,15 @@ class Imaging:
         self._model_lmn: Optional[jnp.ndarray] = None
         self._model_flux: Optional[jnp.ndarray] = None
 
+        # MXU gridding: window sizes scale down for small images; chunk
+        # plans are cached per w_slice (coordinates are fixed across major
+        # cycles, only vis payloads change).
+        r = min(64, max(8, N // 8))
+        self._mxu = mxu_gridder.MxuGridder(
+            pixels=N, kernel_width=grid_p.fixed.kernel_width, num_pols=P,
+            rv=r, ru=r, mc=256)
+        self._plans: dict = {}
+
     # ------------------------------------------------------------------
     # clearing
 
@@ -138,14 +147,46 @@ class Imaging:
                 jnp.asarray(_pad_to(np.asarray(chunk.w_plane), n)))
 
     def grid_chunk(self, chunk, vis: np.ndarray):
-        """Grid (pre-weighted) visibilities; ``vis`` is (n, P) complex or a
-        real array (for PSF gridding of the weights)."""
+        """Grid (pre-weighted) visibilities with the scatter gridder;
+        ``vis`` is (n, P) complex or a real array (for PSF gridding of the
+        weights).  Prefer :meth:`grid_slice` (MXU path)."""
         uv, sub_uv, w_plane = self._padded_chunk(chunk)
         n = uv.shape[0]
         vis = np.asarray(vis).astype(np.complex64)
         self.grid = gridder.grid_vis(
             self.grid, self.kernel, self.weights.grid, uv, sub_uv, w_plane,
             jnp.asarray(_pad_to(vis, n)), pixels=self.pixels)
+
+    def _slice_plan(self, chunk, w_slice: int) -> mxu_gridder.ChunkPlan:
+        key = (w_slice, len(chunk.uv))
+        plan = self._plans.get(key)
+        if plan is None:
+            plan = self._mxu.plan(chunk.uv, chunk.sub_uv, chunk.w_plane,
+                                  np.asarray(chunk.vis, np.complex64),
+                                  chunk.weights)
+            self._plans[key] = plan
+        return plan
+
+    def grid_slice(self, chunk, vis: np.ndarray, w_slice: int):
+        """Grid a whole (channel, w_slice) visibility set via the MXU
+        dense-matmul gridder."""
+        plan = self._slice_plan(chunk, w_slice)
+        if plan.uv.shape[0] == 0:
+            return
+        vis_chunked = self._mxu.chunk_vis(
+            plan, np.asarray(vis).astype(np.complex64))
+        self.grid = self._mxu.grid(self.grid, self.kernel,
+                                   self.weights.grid, plan,
+                                   vis_chunked=jnp.asarray(vis_chunked))
+
+    def degrid_slice(self, chunk, vis, model_grid, w_slice: int):
+        """Subtract degridded model visibilities for a whole slice."""
+        plan = self._slice_plan(chunk, w_slice)
+        vis_chunked = self._mxu.chunk_vis(
+            plan, np.asarray(vis).astype(np.complex64))
+        out_chunked = self._mxu.degrid(model_grid, self.kernel, plan,
+                                       jnp.asarray(vis_chunked))
+        return self._mxu.unchunk_vis(plan, np.asarray(out_chunked), len(vis))
 
     def predict_chunk(self, chunk, vis, w_slice: int, lmn, flux):
         """Subtract a direct DFT prediction from ``vis`` (returns new array)."""

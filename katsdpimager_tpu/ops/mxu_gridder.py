@@ -1,0 +1,365 @@
+r"""MXU-native gridding/degridding: bucketed dense-matmul formulation.
+
+The reference's Romein CUDA scatter (``grid.mako``) relies on fast global
+atomics; TPUs have none, and pure XLA scatter-adds are VPU/memory bound.
+This module restructures convolutional gridding so the :math:`K^2` work per
+visibility runs on the MXU (systolic array):
+
+1. **Planning (host, once per channel)** — visibilities are sorted in
+   Morton order of their UV tile and cut into *chunks* of at most ``Mc``
+   visibilities whose kernel footprints fit a ``(Rv + K) x (Ru + K)``
+   window (:func:`plan_chunks`).  Chunked arrays are padded to static
+   shapes.  Because the preprocessor already sorts and compresses
+   visibilities, consecutive records are spatially adjacent and chunks are
+   dense in the UV centre.
+
+2. **Assembly (device, gather-only)** — for each chunk the separable
+   kernel factors are expanded into two dense matrices:
+   ``V[r, m] = conj(kernel[wp_m, sub_v_m, r - (v0_m - anchor_v)])`` of
+   shape ``(Rv + K, Mc)`` and
+   ``U[m, c] = sample_m * conj(kernel[wp_m, sub_u_m, c - (u0_m - anchor_u)])``
+   of shape ``(Mc, Ru + K)``, built by index arithmetic + gathers (no
+   scatters).  ``sample`` carries the visibility times its density weight.
+
+3. **Accumulation (device, MXU)** — the chunk's grid contribution is the
+   rank-``Mc`` product ``V @ U``, added into the grid window at the chunk
+   anchor with a dynamic-slice read-modify-write inside a ``lax.scan``.
+   With ``Rv = Ru = 64`` and ``K = 60`` the matmul does
+   :math:`(R+K)^2 M_c` useful-plus-padding work at ~23% density — orders
+   of magnitude faster than elementwise scatter for large kernels.
+
+Degridding is the transpose: ``T = V^T @ window`` (MXU) followed by a
+gathered K-tap contraction per visibility.
+
+Numerical semantics are identical to :mod:`.gridder` (same conventions,
+different evaluation order; f32 sums reassociate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host-side planning
+
+
+class ChunkPlan(NamedTuple):
+    """Static-shape chunked visibility layout (numpy, host-resident).
+
+    All per-vis arrays are gathered into ``(n_chunks, Mc)`` layout; padding
+    entries have ``valid == False`` and zeroed payloads.
+    """
+
+    uv: np.ndarray        # (C, Mc, 2) int32 centred cell coords
+    sub_uv: np.ndarray    # (C, Mc, 2) int32
+    w_plane: np.ndarray   # (C, Mc) int32
+    vis: np.ndarray       # (C, Mc, P) complex64 (pre-weighted)
+    weights: np.ndarray   # (C, Mc, P) float32
+    anchor: np.ndarray    # (C, 2) int32: (v_row0, u_col0) grid indices of window
+    valid: np.ndarray     # (C, Mc) bool
+    order: np.ndarray     # (Nvis,) permutation applied (for degrid writeback)
+    chunk_of: np.ndarray  # (Nvis,) chunk index of each reordered vis
+    slot_of: np.ndarray   # (Nvis,) slot within chunk
+
+
+def _morton_key(vt: np.ndarray, ut: np.ndarray) -> np.ndarray:
+    """Interleave tile coordinate bits (16 bits each) into a Morton code."""
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << 2)) & np.uint64(0x3333333333333333)
+        x = (x | (x << 1)) & np.uint64(0x5555555555555555)
+        return x
+
+    return (spread(vt) << np.uint64(1)) | spread(ut)
+
+
+def plan_chunks(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
+                kernel_width: int, rv: int = 64, ru: int = 64,
+                mc: int = 256) -> ChunkPlan:
+    """Build the chunk layout for one (channel, w_slice) visibility set.
+
+    ``uv`` is the centred int16 cell coordinate from preprocessing.  The
+    footprint's first grid index is ``uv - uv_bias`` (see
+    :mod:`.gridder`); chunks guarantee every footprint fits the
+    ``(rv + K, ru + K)`` window at the chunk anchor.
+    """
+    K = kernel_width
+    n = len(uv)
+    uv_bias = (K - 1) // 2 - pixels // 2
+    if n == 0:
+        zero = np.zeros
+        return ChunkPlan(zero((0, mc, 2), np.int32), zero((0, mc, 2), np.int32),
+                         zero((0, mc), np.int32),
+                         zero((0, mc, vis.shape[1]), np.complex64),
+                         zero((0, mc, vis.shape[1]), np.float32),
+                         zero((0, 2), np.int32), zero((0, mc), bool),
+                         zero((0,), np.int64), zero((0,), np.int64),
+                         zero((0,), np.int64))
+
+    u0 = uv[:, 0].astype(np.int64) - uv_bias  # first grid col of footprint
+    v0 = uv[:, 1].astype(np.int64) - uv_bias  # first grid row
+    key = _morton_key((v0 // rv).astype(np.int64), (u0 // ru).astype(np.int64))
+    order = np.argsort(key, kind="stable")
+    u0s, v0s = u0[order], v0[order]
+
+    # Cut into chunks: greedy walk keeping count <= mc and bbox within
+    # (rv, ru) of the chunk minimum.
+    starts = [0]
+    min_v = v0s[0]
+    max_v = v0s[0]
+    min_u = u0s[0]
+    max_u = u0s[0]
+    count = 0
+    for i in range(n):
+        nv_min, nv_max = min(min_v, v0s[i]), max(max_v, v0s[i])
+        nu_min, nu_max = min(min_u, u0s[i]), max(max_u, u0s[i])
+        if count >= mc or nv_max - nv_min > rv or nu_max - nu_min > ru:
+            starts.append(i)
+            min_v = max_v = v0s[i]
+            min_u = max_u = u0s[i]
+            count = 1
+        else:
+            min_v, max_v, min_u, max_u = nv_min, nv_max, nu_min, nu_max
+            count += 1
+    starts.append(n)
+    starts = np.asarray(starts)
+    n_chunks = len(starts) - 1
+    # Round the chunk count up to a power of two so jit specialisations of
+    # the scan are bounded; padding chunks are fully invalid.
+    n_padded = 1
+    while n_padded < n_chunks:
+        n_padded *= 2
+
+    P = vis.shape[1]
+    c_uv = np.zeros((n_padded, mc, 2), np.int32)
+    c_sub = np.zeros((n_padded, mc, 2), np.int32)
+    c_wp = np.zeros((n_padded, mc), np.int32)
+    c_vis = np.zeros((n_padded, mc, P), np.complex64)
+    c_wt = np.zeros((n_padded, mc, P), np.float32)
+    anchor = np.zeros((n_padded, 2), np.int32)
+    valid = np.zeros((n_padded, mc), bool)
+    chunk_of = np.zeros(n, np.int64)
+    slot_of = np.zeros(n, np.int64)
+
+    uv_s = uv[order]
+    sub_s = sub_uv[order]
+    wp_s = w_plane[order]
+    vis_s = vis[order]
+    wt_s = weights[order]
+    for c in range(n_chunks):
+        s, e = starts[c], starts[c + 1]
+        m = e - s
+        c_uv[c, :m] = uv_s[s:e]
+        c_sub[c, :m] = sub_s[s:e]
+        c_wp[c, :m] = wp_s[s:e]
+        c_vis[c, :m] = vis_s[s:e]
+        c_wt[c, :m] = wt_s[s:e]
+        anchor[c, 0] = v0s[s:e].min()
+        anchor[c, 1] = u0s[s:e].min()
+        valid[c, :m] = True
+        chunk_of[s:e] = c
+        slot_of[s:e] = np.arange(m)
+
+    return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, anchor, valid,
+                     order, chunk_of, slot_of)
+
+
+# ---------------------------------------------------------------------------
+# Device-side gridding
+
+
+def _chunk_factors(kernel, uv, sub_uv, w_plane, anchor, valid, *,
+                   pixels: int, rv: int, ru: int):
+    """Dense separable factors for one chunk (gather-only assembly).
+
+    Returns (V (Rv+K, Mc) complex, Utap (Mc, Ru+K) complex, cell (vq, uq)).
+    ``Utap`` excludes the per-vis sample (multiplied in by the caller).
+    """
+    K = kernel.shape[-1]
+    uv_bias = (K - 1) // 2 - pixels // 2
+    u0r = uv[:, 0] - uv_bias - anchor[1]  # offset of footprint in window
+    v0r = uv[:, 1] - uv_bias - anchor[0]
+    wp = w_plane
+
+    ku = kernel[wp, sub_uv[:, 0], :]  # (Mc, K)
+    kv = kernel[wp, sub_uv[:, 1], :]  # (Mc, K)
+    ku = jnp.where(valid[:, None], ku, 0)
+    kv = jnp.where(valid[:, None], kv, 0)
+
+    cols = jnp.arange(ru + K, dtype=jnp.int32)
+    tap_u = cols[None, :] - u0r[:, None]            # (Mc, Ru+K)
+    in_u = (tap_u >= 0) & (tap_u < K)
+    Utap = jnp.where(
+        in_u,
+        jnp.take_along_axis(ku, jnp.clip(tap_u, 0, K - 1), axis=1),
+        0)
+
+    rows = jnp.arange(rv + K, dtype=jnp.int32)
+    tap_v = rows[None, :] - v0r[:, None]            # (Mc, Rv+K)
+    in_v = (tap_v >= 0) & (tap_v < K)
+    Vt = jnp.where(
+        in_v,
+        jnp.take_along_axis(kv, jnp.clip(tap_v, 0, K - 1), axis=1),
+        0)                                          # (Mc, Rv+K)
+    return Vt, Utap
+
+
+def grid_chunks_impl(grid, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
+                     plan_vis, plan_anchor, plan_valid, *, pixels: int,
+                     rv: int, ru: int):
+    """Accumulate all chunks onto the grid (scan over chunks).
+
+    grid: (P, N, N) complex (returned updated).  plan_*: stacked chunk
+    arrays from :class:`ChunkPlan` (jnp).
+    """
+    K = kernel.shape[-1]
+    Np = pixels
+    half = Np // 2
+    Pp = grid.shape[0]
+
+    def body(g, xs):
+        uv, sub, wp, vis, anchor, valid = xs
+        Vt, Utap = _chunk_factors(kernel, uv, sub, wp, anchor, valid,
+                                  pixels=Np, rv=rv, ru=ru)
+        # density-weight lookup at the vis cell
+        uq = uv[:, 0] + half
+        vq = uv[:, 1] + half
+        dw = weights_grid[:, vq, uq]                    # (P, Mc)
+        sample = vis.T * dw                             # (P, Mc)
+        V = jnp.conj(Vt).T                              # (Rv+K, Mc)
+        Uc = jnp.conj(Utap)                             # (Mc, Ru+K)
+        # (P, Rv+K, Ru+K) = V @ (sample * U) batched over P
+        US = sample[:, :, None] * Uc[None, :, :]        # (P, Mc, Ru+K)
+        band = jnp.einsum("rm,pmc->prc", V, US,
+                          preferred_element_type=g.dtype)
+        win = jax.lax.dynamic_slice(
+            g, (0, anchor[0], anchor[1]), (Pp, rv + K, ru + K))
+        g = jax.lax.dynamic_update_slice(g, win + band,
+                                         (0, anchor[0], anchor[1]))
+        return g, None
+
+    grid, _ = jax.lax.scan(
+        body, grid, (plan_uv, plan_sub, plan_wp, plan_vis, plan_anchor,
+                     plan_valid))
+    return grid
+
+
+grid_chunks = partial(jax.jit,
+                      static_argnames=("pixels", "rv", "ru"),
+                      donate_argnums=(0,))(grid_chunks_impl)
+
+
+def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
+                       plan_vis, plan_anchor, plan_valid, *, pixels: int,
+                       rv: int, ru: int):
+    """Predict + subtract for all chunks; returns updated (C, Mc, P) vis."""
+    K = kernel.shape[-1]
+    Np = pixels
+    Pp = plan_vis.shape[-1]
+
+    def body(_, xs):
+        uv, sub, wp, wt, vis, anchor, valid = xs
+        Vt, Utap = _chunk_factors(kernel, uv, sub, wp, anchor, valid,
+                                  pixels=Np, rv=rv, ru=ru)
+        win = jax.lax.dynamic_slice(
+            grid, (0, anchor[0], anchor[1]), (Pp, rv + K, ru + K))
+        # T[p, m, c] = sum_r Vt[m, r] win[p, r, c]
+        T = jnp.einsum("mr,prc->pmc", Vt, win,
+                       preferred_element_type=grid.dtype)
+        predicted = jnp.sum(T * Utap[None, :, :], axis=-1)  # (P, Mc)
+        out = vis - wt * predicted.T.astype(vis.dtype)
+        return None, out
+
+    _, new_vis = jax.lax.scan(
+        body, None, (plan_uv, plan_sub, plan_wp, plan_wt, plan_vis,
+                     plan_anchor, plan_valid))
+    return new_vis
+
+
+degrid_chunks = partial(jax.jit,
+                        static_argnames=("pixels", "rv", "ru"))(degrid_chunks_impl)
+
+
+# ---------------------------------------------------------------------------
+# Padding-aware grid: the chunk window may extend past the grid edge by up
+# to (rv, ru) (anchors are footprint starts, in-range by preprocessing, but
+# window size exceeds the remaining extent near the far edges).  Grid with
+# a padded array and crop.
+
+def padded_grid_shape(pixels: int, num_pols: int, rv: int, ru: int):
+    return (num_pols, pixels + rv, pixels + ru)
+
+
+class MxuGridder:
+    """Stateful convenience wrapper: plan on host, grid/degrid on device.
+
+    Drop-in alternative to the scatter gridder for a (channel, w_slice)
+    visibility set whose coordinates are fixed across major cycles (true
+    for this pipeline: only vis values change).
+    """
+
+    def __init__(self, *, pixels: int, kernel_width: int, num_pols: int,
+                 rv: int = 64, ru: int = 64, mc: int = 256):
+        self.pixels = pixels
+        self.K = kernel_width
+        self.num_pols = num_pols
+        self.rv = rv
+        self.ru = ru
+        self.mc = mc
+
+    def plan(self, uv, sub_uv, w_plane, vis, weights) -> ChunkPlan:
+        return plan_chunks(np.asarray(uv), np.asarray(sub_uv),
+                           np.asarray(w_plane), np.asarray(vis),
+                           np.asarray(weights), pixels=self.pixels,
+                           kernel_width=self.K, rv=self.rv, ru=self.ru,
+                           mc=self.mc)
+
+    def grid(self, grid, kernel, weights_grid, plan: ChunkPlan,
+             vis_chunked=None):
+        """Accumulate the planned chunks; ``grid`` is (P, N, N) jnp.
+        ``vis_chunked`` overrides the plan's vis payload (same layout)."""
+        if plan.uv.shape[0] == 0:
+            return grid
+        pad_v, pad_u = self.rv, self.ru
+        gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
+        gpad = grid_chunks(
+            gpad, kernel, weights_grid,
+            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+            jnp.asarray(plan.w_plane),
+            jnp.asarray(plan.vis) if vis_chunked is None else vis_chunked,
+            jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+            pixels=self.pixels, rv=self.rv, ru=self.ru)
+        return gpad[:, :self.pixels, :self.pixels]
+
+    def degrid(self, grid, kernel, plan: ChunkPlan, vis_chunked):
+        """Subtract degridded model from chunked vis; returns (C, Mc, P)."""
+        pad_v, pad_u = self.rv, self.ru
+        gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
+        return degrid_chunks(
+            gpad, kernel,
+            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+            jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),
+            vis_chunked, jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+            pixels=self.pixels, rv=self.rv, ru=self.ru)
+
+    def chunk_vis(self, plan: ChunkPlan, vis) -> np.ndarray:
+        """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout."""
+        out = np.zeros(plan.vis.shape, np.complex64)
+        out[plan.chunk_of, plan.slot_of] = np.asarray(vis)[plan.order]
+        return out
+
+    def unchunk_vis(self, plan: ChunkPlan, vis_chunked, n: int) -> np.ndarray:
+        """Inverse of :meth:`chunk_vis`."""
+        out = np.zeros((n, vis_chunked.shape[-1]), np.complex64)
+        out[plan.order] = np.asarray(vis_chunked)[plan.chunk_of, plan.slot_of]
+        return out

@@ -57,14 +57,17 @@ def extract_sky_image(image_parameters, grid_parameters, model_image: np.ndarray
     return lmn, flux
 
 
-@partial(jax.jit, static_argnames=("oversample",), donate_argnums=(5,))
+@partial(jax.jit, static_argnames=("oversample", "block"), donate_argnums=(5,))
 def predict_subtract(lmn, flux, uv, sub_uv, w_plane, vis, weights,
-                     uv_scale, w_scale, w_bias, *, oversample: int):
+                     uv_scale, w_scale, w_bias, *, oversample: int,
+                     block: int = 8192):
     """Subtract the DFT of (lmn, flux) from the stored visibilities.
 
     lmn: (S, 3) float32 (l, m, n-1); flux: (S, P) real;
     vis: (N, P) complex64 (donated); weights: (N, P) float32.
-    ``w_bias`` must already include the W-slice mid-w.
+    ``w_bias`` must already include the W-slice mid-w.  N must be a
+    multiple of ``block`` or smaller than it (pad with zero weights);
+    blocking keeps the (block, S) phase matrix VMEM-friendly.
     """
     u = (uv[:, 0].astype(jnp.float32) * oversample
          + sub_uv[:, 0].astype(jnp.float32) + 0.5) * uv_scale
@@ -72,16 +75,25 @@ def predict_subtract(lmn, flux, uv, sub_uv, w_plane, vis, weights,
          + sub_uv[:, 1].astype(jnp.float32) + 0.5) * uv_scale
     w = w_plane.astype(jnp.float32) * w_scale + w_bias
     uvw = jnp.stack([u, v, w], axis=-1)  # (N, 3)
-
-    # MXU path: phase (N, S) then two real matmuls against the flux.
-    phase = (-2 * jnp.pi) * (uvw @ lmn.T)
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
     fluxf = flux.astype(jnp.float32)
-    re = c @ fluxf
-    im = s @ fluxf
-    predicted = (re + 1j * im).astype(vis.dtype)
-    return vis - weights * predicted
+
+    def block_predict(uvw_b):
+        # MXU path: phase (B, S) then two real matmuls against the flux.
+        phase = (-2 * jnp.pi) * (uvw_b @ lmn.T)
+        re = jnp.cos(phase) @ fluxf
+        im = jnp.sin(phase) @ fluxf
+        return re + 1j * im
+
+    N = vis.shape[0]
+    if N <= block:
+        predicted = block_predict(uvw)
+    else:
+        nb = -(-N // block)
+        pad = nb * block - N
+        uvw_p = jnp.pad(uvw, ((0, pad), (0, 0))).reshape(nb, block, 3)
+        predicted = jax.lax.map(block_predict, uvw_p)
+        predicted = predicted.reshape(nb * block, -1)[:N]
+    return vis - weights * predicted.astype(vis.dtype)
 
 
 def predict_subtract_reference(lmn, flux, uv, sub_uv, w_plane, vis, weights,

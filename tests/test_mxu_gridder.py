@@ -1,0 +1,106 @@
+"""MXU (dense-matmul) gridder vs the scatter oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from katsdpimager_tpu.ops import gridder, mxu_gridder
+
+
+def random_case(rng, pixels=256, K=12, oversample=4, w_planes=3, pols=2,
+                n=400, clustered=True):
+    kernel = (rng.normal(size=(w_planes, oversample, K))
+              + 1j * rng.normal(size=(w_planes, oversample, K))).astype(np.complex64)
+    half = pixels // 2
+    lim = half - K
+    if clustered:
+        # Gaussian-clustered UV (realistic: dense centre)
+        uv = np.clip(rng.normal(scale=lim / 3, size=(n, 2)), -lim, lim
+                     ).astype(np.int16)
+    else:
+        uv = rng.integers(-lim, lim, size=(n, 2)).astype(np.int16)
+    sub_uv = rng.integers(0, oversample, size=(n, 2)).astype(np.int16)
+    w_plane = rng.integers(0, w_planes, size=n).astype(np.int16)
+    vis = (rng.normal(size=(n, pols)) + 1j * rng.normal(size=(n, pols))
+           ).astype(np.complex64)
+    weights = rng.uniform(0.3, 2.0, size=(n, pols)).astype(np.float32)
+    weights_grid = rng.uniform(0.5, 2.0, size=(pols, pixels, pixels)
+                               ).astype(np.float32)
+    return kernel, uv, sub_uv, w_plane, vis, weights, weights_grid
+
+
+@pytest.mark.parametrize("clustered", [True, False])
+def test_grid_matches_oracle(clustered):
+    rng = np.random.default_rng(17)
+    kernel, uv, sub_uv, w_plane, vis, _wt, wg = random_case(
+        rng, clustered=clustered)
+    pixels = wg.shape[-1]
+    pols = vis.shape[1]
+
+    expected = gridder.grid_vis_reference(
+        np.zeros((pols, pixels, pixels), np.complex64),
+        kernel, wg, uv, sub_uv, w_plane, vis)
+
+    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=kernel.shape[-1],
+                               num_pols=pols, rv=32, ru=32, mc=64)
+    plan = g.plan(uv, sub_uv, w_plane, vis, np.ones_like(_wt))
+    out = g.grid(jnp.zeros((pols, pixels, pixels), jnp.complex64),
+                 jnp.asarray(kernel), jnp.asarray(wg), plan)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-4)
+
+
+def test_degrid_matches_oracle():
+    rng = np.random.default_rng(23)
+    kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng)
+    pixels = wg.shape[-1]
+    pols = vis.shape[1]
+    grid = (rng.normal(size=(pols, pixels, pixels))
+            + 1j * rng.normal(size=(pols, pixels, pixels))).astype(np.complex64)
+
+    expected = gridder.degrid_vis_reference(
+        grid, kernel, uv, sub_uv, w_plane, weights, vis)
+
+    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=kernel.shape[-1],
+                               num_pols=pols, rv=32, ru=32, mc=64)
+    plan = g.plan(uv, sub_uv, w_plane, vis, weights)
+    vis_chunked = g.chunk_vis(plan, vis)
+    out_chunked = g.degrid(jnp.asarray(grid), jnp.asarray(kernel), plan,
+                           jnp.asarray(vis_chunked))
+    out = g.unchunk_vis(plan, np.asarray(out_chunked), len(vis))
+    np.testing.assert_allclose(out, expected, rtol=2e-3, atol=2e-3)
+
+
+def test_empty():
+    g = mxu_gridder.MxuGridder(pixels=64, kernel_width=8, num_pols=1)
+    plan = g.plan(np.zeros((0, 2), np.int16), np.zeros((0, 2), np.int16),
+                  np.zeros((0,), np.int16), np.zeros((0, 1), np.complex64),
+                  np.zeros((0, 1), np.float32))
+    out = g.grid(jnp.zeros((1, 64, 64), jnp.complex64),
+                 jnp.zeros((1, 4, 8), jnp.complex64),
+                 jnp.ones((1, 64, 64), jnp.float32), plan)
+    np.testing.assert_array_equal(np.asarray(out), 0)
+
+
+def test_chunk_plan_invariants():
+    rng = np.random.default_rng(5)
+    kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng, n=1000)
+    pixels = wg.shape[-1]
+    K = kernel.shape[-1]
+    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=K, num_pols=2,
+                               rv=32, ru=32, mc=64)
+    plan = g.plan(uv, sub_uv, w_plane, vis, weights)
+    uv_bias = (K - 1) // 2 - pixels // 2
+    # every valid vis footprint fits its chunk window
+    for c in range(plan.uv.shape[0]):
+        m = plan.valid[c]
+        if not m.any():
+            continue
+        v0 = plan.uv[c, m, 1] - uv_bias
+        u0 = plan.uv[c, m, 0] - uv_bias
+        assert (v0 >= plan.anchor[c, 0]).all()
+        assert (v0 + K <= plan.anchor[c, 0] + 32 + K).all()
+        assert (u0 >= plan.anchor[c, 1]).all()
+        assert (u0 + K <= plan.anchor[c, 1] + 32 + K).all()
+    # round trip of vis through chunk layout
+    back = g.unchunk_vis(plan, plan.vis, len(vis))
+    np.testing.assert_array_equal(back, vis)
