@@ -405,6 +405,33 @@ class VisibilityCollectorMem(VisibilityCollector):
     """In-memory backend (parity alias; the base class is already in-memory)."""
 
 
+class VisibilityCollectorNative(VisibilityCollector):
+    """Collector backed by the C++/OpenMP core (:mod:`.native`) instead of
+    the on-device JAX transform — for CPU-bound ingest pipelines where the
+    accelerator should not spend cycles on preprocessing (the role
+    preprocess.cpp plays in the reference)."""
+
+    def add(self, uvw, weights, vis, feed_angle1=None, feed_angle2=None,
+            mueller_stokes=None, mueller_circular=None):
+        from . import native
+
+        uvw = np.ascontiguousarray(uvw, np.float32)
+        N = uvw.shape[0]
+        if mueller_circular is not None:
+            mueller = np.asarray(rotated_mueller(
+                jnp.asarray(mueller_stokes), jnp.asarray(mueller_circular),
+                jnp.asarray(feed_angle1), jnp.asarray(feed_angle2)))
+        else:
+            mueller = np.asarray(mueller_stokes)
+        for channel in range(self.num_channels):
+            out = native.preprocess_channel(
+                uvw, np.asarray(weights[channel]), np.asarray(vis[channel]),
+                mueller, self.geometries[channel])
+            self._store(channel, out)
+            self.num_input += N
+            self.num_output += int(out["count"])
+
+
 class VisibilityCollectorHDF5(VisibilityCollector):
     """HDF5-spill backend: buckets are flushed to a temp file so host RAM
     stays bounded for large cubes (parity with reference
