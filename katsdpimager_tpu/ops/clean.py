@@ -150,10 +150,10 @@ def _tile_scan(cfg: CleanConfig, residual, t0y, t0x, nty: int, ntx: int):
     (t0y, t0x).  Returns (win_max (nty,ntx), win_pos (nty,ntx,2))."""
     pad = cfg.pad
     b = cfg.border_pixels
-    base_y = b + pad + t0y * _TILE
-    base_x = b + pad + t0x * _TILE
+    base_y = jnp.asarray(b + pad + t0y * _TILE, jnp.int32)
+    base_x = jnp.asarray(b + pad + t0x * _TILE, jnp.int32)
     window = jax.lax.dynamic_slice(
-        residual, (0, base_y, base_x),
+        residual, (jnp.zeros((), jnp.int32), base_y, base_x),
         (cfg.num_pols, nty * _TILE, ntx * _TILE))
     metric = _metric(cfg, window)
     # Mask positions outside the interior (ragged last tile / padding).
@@ -224,18 +224,20 @@ def minor_cycles_impl(cfg: CleanConfig, state: CleanState, psf_patch_arr,
         scale = cfg.loop_gain * st.residual[:, py + pad, px + pad]
         y0 = py + pad - ph // 2
         x0 = px + pad - pw // 2
-        window = jax.lax.dynamic_slice(st.residual, (0, y0, x0),
+        zero = jnp.zeros((), y0.dtype)
+        window = jax.lax.dynamic_slice(st.residual, (zero, y0, x0),
                                        (cfg.num_pols, ph, pw))
         window = window - scale[:, None, None] * psf_patch_arr
-        residual = jax.lax.dynamic_update_slice(st.residual, window, (0, y0, x0))
+        residual = jax.lax.dynamic_update_slice(st.residual, window,
+                                                (zero, y0, x0))
         model = st.model.at[:, py, px].add(scale)
         # Refresh the tile window covering the subtraction footprint.
         t0y = jnp.clip((py - cfg.border_pixels - ph // 2) // _TILE, 0, T - nty)
         t0x = jnp.clip((px - cfg.border_pixels - pw // 2) // _TILE, 0, T - ntx)
         win_max, win_pos = _tile_scan(cfg, residual, t0y, t0x, nty, ntx)
         tile_max = jax.lax.dynamic_update_slice(st.tile_max, win_max, (t0y, t0x))
-        tile_pos = jax.lax.dynamic_update_slice(st.tile_pos, win_pos,
-                                                (t0y, t0x, jnp.int32(0)))
+        tile_pos = jax.lax.dynamic_update_slice(
+            st.tile_pos, win_pos, (t0y, t0x, jnp.zeros((), t0y.dtype)))
         return CleanState(residual, model, tile_max, tile_pos)
 
     def body(carry):

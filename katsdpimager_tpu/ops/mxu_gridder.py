@@ -242,10 +242,11 @@ def grid_chunks_impl(grid, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
         US = sample[:, :, None] * Uc[None, :, :]        # (P, Mc, Ru+K)
         band = jnp.einsum("rm,pmc->prc", V, US,
                           preferred_element_type=g.dtype)
+        zero = jnp.zeros((), anchor.dtype)
         win = jax.lax.dynamic_slice(
-            g, (0, anchor[0], anchor[1]), (Pp, rv + K, ru + K))
+            g, (zero, anchor[0], anchor[1]), (Pp, rv + K, ru + K))
         g = jax.lax.dynamic_update_slice(g, win + band,
-                                         (0, anchor[0], anchor[1]))
+                                         (zero, anchor[0], anchor[1]))
         return g, None
 
     grid, _ = jax.lax.scan(
@@ -272,7 +273,8 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         Vt, Utap = _chunk_factors(kernel, uv, sub, wp, anchor, valid,
                                   pixels=Np, rv=rv, ru=ru)
         win = jax.lax.dynamic_slice(
-            grid, (0, anchor[0], anchor[1]), (Pp, rv + K, ru + K))
+            grid, (jnp.zeros((), anchor.dtype), anchor[0], anchor[1]),
+            (Pp, rv + K, ru + K))
         # T[p, m, c] = sum_r Vt[m, r] win[p, r, c]
         T = jnp.einsum("mr,prc->pmc", Vt, win,
                        preferred_element_type=grid.dtype)

@@ -1,0 +1,177 @@
+"""HTML QA report from pipeline statistics.
+
+Parity target: the reference's ``report.py`` / ``imager-mkat-report.py``
+(bokeh/jinja2 report of per-channel status, noise, peak and total flux
+spectra, with SEFD-predicted noise).  This implementation reads the
+pipeline's JSON state store and renders a standalone HTML file with
+matplotlib plots embedded as base64 PNGs — no template or server
+dependencies.
+"""
+
+from __future__ import annotations
+
+import base64
+import html
+import io as _io
+import json
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _fig_to_b64(fig) -> str:
+    buf = _io.BytesIO()
+    fig.savefig(buf, format="png", dpi=80, bbox_inches="tight")
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class PolynomialSEFDModel:
+    """System-equivalent flux density as a polynomial in frequency (the
+    reference's SEFD model family, report.py:69-158)."""
+
+    def __init__(self, coeffs, min_freq_hz: float, max_freq_hz: float):
+        self.coeffs = np.asarray(coeffs, np.float64)
+        self.min_freq = min_freq_hz
+        self.max_freq = max_freq_hz
+
+    def __call__(self, freq_hz) -> np.ndarray:
+        f = np.asarray(freq_hz, np.float64) / 1e6  # polynomial in MHz
+        out = np.polyval(self.coeffs[::-1], f)
+        mask = (np.asarray(freq_hz) >= self.min_freq) & (
+            np.asarray(freq_hz) <= self.max_freq)
+        return np.where(mask, out, np.nan)
+
+
+def meerkat_sefd_model(band: str) -> Optional[PolynomialSEFDModel]:
+    """Approximate MeerKAT SEFD models (quadratic fits to the published
+    L/UHF receiver curves; the reference embeds similar polynomials)."""
+    if band == "L":
+        return PolynomialSEFDModel([880.0, -0.33, 1.45e-4], 900e6, 1670e6)
+    if band == "UHF":
+        return PolynomialSEFDModel([1100.0, -1.1, 6.5e-4], 580e6, 1015e6)
+    return None
+
+
+def predicted_noise(sefd_jy: float, n_antennas: int, bandwidth_hz: float,
+                    t_integration_s: float, efficiency: float = 0.9) -> float:
+    """Radiometer-equation image noise (Jy/beam)."""
+    n_baselines = n_antennas * (n_antennas - 1) / 2
+    return sefd_jy / (efficiency * math.sqrt(
+        2 * bandwidth_hz * t_integration_s * n_baselines))
+
+
+def load_stats(state_path: str) -> Dict[int, dict]:
+    with open(state_path) as f:
+        data = json.load(f)
+    stats = {}
+    for key, value in data.items():
+        if key.startswith("stats/"):
+            stats[int(key.split("/", 1)[1])] = value
+    return stats
+
+
+def write_report(state_path: str, output_path: str,
+                 title: str = "Imaging QA report") -> None:
+    """Render the report from a pipeline ``state.json``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    stats = load_stats(state_path)
+    channels = sorted(stats)
+    freqs = np.array([stats[c].get("frequency", np.nan) for c in channels]) / 1e6
+    noise = np.array([stats[c].get("noise", np.nan) for c in channels])
+    weights_noise = np.array([
+        stats[c].get("weights_noise") or np.nan for c in channels])
+    peak = np.array([stats[c].get("peak", np.nan) for c in channels])
+    minor = np.array([stats[c].get("minor", 0) for c in channels])
+    totals_i = np.array([
+        (stats[c].get("totals") or {}).get("I", np.nan) for c in channels])
+
+    plots: List[str] = []
+    if channels:
+        fig, ax = plt.subplots(figsize=(7, 3))
+        ax.plot(freqs, noise * 1e6, label="measured")
+        if np.isfinite(weights_noise).any():
+            ax.plot(freqs, weights_noise * 1e6, label="from weights")
+        ax.set_xlabel("Frequency [MHz]")
+        ax.set_ylabel("Noise [uJy/beam]")
+        ax.legend()
+        ax.set_title("Residual noise")
+        plots.append(_fig_to_b64(fig))
+
+        fig, ax = plt.subplots(figsize=(7, 3))
+        ax.plot(freqs, peak, label="peak")
+        ax.plot(freqs, totals_i, label="total I")
+        ax.set_xlabel("Frequency [MHz]")
+        ax.set_ylabel("Flux density [Jy]")
+        ax.legend()
+        ax.set_title("Peak and total flux")
+        plots.append(_fig_to_b64(fig))
+
+        fig, ax = plt.subplots(figsize=(7, 3))
+        ax.plot(freqs, minor)
+        ax.set_xlabel("Frequency [MHz]")
+        ax.set_ylabel("Minor cycles")
+        ax.set_title("CLEAN effort")
+        plots.append(_fig_to_b64(fig))
+
+    rows = []
+    for c in channels:
+        s = stats[c]
+        rows.append(
+            "<tr>"
+            f"<td>{c}</td>"
+            f"<td>{s.get('frequency', 0) / 1e6:.2f}</td>"
+            f"<td>{s.get('noise', float('nan')):.3e}</td>"
+            f"<td>{s.get('peak', float('nan')):.4f}</td>"
+            f"<td>{s.get('major', 0)}</td>"
+            f"<td>{s.get('minor', 0)}</td>"
+            f"<td>{s.get('compressed_vis', 0)}</td>"
+            "</tr>")
+
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{html.escape(title)}</title>
+<style>
+body {{ font-family: sans-serif; margin: 2em; }}
+table {{ border-collapse: collapse; }}
+td, th {{ border: 1px solid #999; padding: 0.3em 0.7em; }}
+</style></head><body>
+<h1>{html.escape(title)}</h1>
+<p>{len(channels)} channels imaged.</p>
+{''.join(f'<p><img src="data:image/png;base64,{p}"></p>' for p in plots)}
+<h2>Per-channel statistics</h2>
+<table>
+<tr><th>Channel</th><th>Freq [MHz]</th><th>Noise [Jy/beam]</th>
+<th>Peak [Jy/beam]</th><th>Major</th><th>Minor</th><th>Vis</th></tr>
+{''.join(rows)}
+</table>
+</body></html>
+"""
+    with open(output_path, "w") as f:
+        f.write(doc)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="imager-tpu-report", description="Render the imaging QA report")
+    parser.add_argument("state_json", help="Pipeline state.json")
+    parser.add_argument("output_html")
+    parser.add_argument("--title", default="Imaging QA report")
+    args = parser.parse_args(argv)
+    write_report(args.state_json, args.output_html, args.title)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
