@@ -90,6 +90,9 @@ def get_parser() -> argparse.ArgumentParser:
                            help=f"Write {name} to FITS file")
     group.add_argument("--write-profile", metavar="FILE",
                        help="Write a flamegraph-format profile")
+    parser.add_argument("--host", action="store_true",
+                        help="Run on the host CPU instead of the accelerator "
+                             "(parity with the reference's --host mode)")
     parser.add_argument("--log-level", default="INFO",
                         help="Logging level [%(default)s]")
     return parser
@@ -109,9 +112,11 @@ def main(argv=None) -> int:
     if args.write_profile:
         Profiler.set_profiler(FlamegraphProfiler())
 
-    if args.precision == "double":
-        import jax
+    import jax
 
+    if args.host:
+        jax.config.update("jax_platforms", "cpu")
+    if args.precision == "double":
         jax.config.update("jax_enable_x64", True)
 
     dataset = loader.load(args.input_file, args.input_option,
