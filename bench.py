@@ -3,15 +3,17 @@
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline", ...}``.
 
 The metric is compressed visibilities gridded per second per chip through
-the full dirty-image step (convolutional gridding with W kernels + FFT +
-W-correction), i.e. the BASELINE's "Mvis gridded/sec/chip".  The reference
-publishes no absolute number (BASELINE.md); it measures the same workload
-as GGAPS = N_vis * kernel_width^2 * n_pols / t (tests/imager_bench.py:166-208).
+the full dirty-image step — MXU chunked convolutional gridding with W
+kernels + FFT + W-correction (see ops/mxu_gridder.py), i.e. the BASELINE's
+"Mvis gridded/sec/chip".  The reference publishes no absolute number
+(BASELINE.md); it measures the same workload as GGAPS = N_vis *
+kernel_width^2 * n_pols / t (tests/imager_bench.py:166-208).
 ``vs_baseline`` is measured GGAPS relative to 1.0 GGAPS, a representative
 figure for the reference's CUDA gridder on a datacentre GPU of its era.
 
 Workload: 4k-pixel single-pol image, kernel width 60, oversample 8, 32 W
-planes, 2 W slices (BASELINE config 2 scale).
+planes, 2 W slices, ~0.5 Mvis/slice clustered UV (BASELINE config 2 scale).
+Falls back to a smaller CPU-sized workload when no accelerator is attached.
 """
 
 import json
@@ -25,13 +27,23 @@ def main():
         MultiChannelConfig, make_example_batch, single_channel_step,
     )
 
-    cfg = MultiChannelConfig(
-        pixels=4096, num_pols=1, kernel_width=60, oversample=8,
-        w_planes=32, w_slices=2, vis_per_slice=1 << 19, minor_cycles=0)
+    on_accel = jax.devices()[0].platform != "cpu"
+    if on_accel:
+        cfg = MultiChannelConfig(
+            pixels=4096, num_pols=1, kernel_width=60, oversample=8,
+            w_planes=32, w_slices=2, chunks_per_slice=4096, chunk_size=256,
+            rv=64, ru=64, minor_cycles=0)
+    else:
+        cfg = MultiChannelConfig(
+            pixels=512, num_pols=1, kernel_width=16, oversample=8,
+            w_planes=8, w_slices=2, chunks_per_slice=256, chunk_size=128,
+            rv=32, ru=32, minor_cycles=0)
     batch = make_example_batch(cfg, 1)
+    num_vis = int(jax.device_get(batch.valid.sum()))
     args = (batch.kernel[0], batch.taper1d[0], batch.pixel_size[0],
             batch.mid_w[0], batch.uv[0], batch.sub_uv[0],
-            batch.w_plane[0], batch.weights[0], batch.vis[0])
+            batch.w_plane[0], batch.anchor[0], batch.valid[0],
+            batch.weights[0], batch.vis[0])
     fn = jax.jit(single_channel_step(cfg))
 
     # Warmup / compile
@@ -45,7 +57,6 @@ def main():
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - start) / iters
 
-    num_vis = cfg.w_slices * cfg.vis_per_slice
     mvis_per_s = num_vis / elapsed / 1e6
     ggaps = num_vis * cfg.kernel_width ** 2 * cfg.num_pols / elapsed / 1e9
 

@@ -1,19 +1,21 @@
-"""Channel- and visibility-sharded imaging step.
+"""Channel- and visibility-sharded imaging step (MXU-chunk formulation).
 
 The full per-channel pipeline — weight gridding, uniform density weights,
-convolutional gridding per W slice, FFT + W-correction accumulation, and
-batched CLEAN minor cycles — expressed as ONE jitted function over stacked
-per-channel arrays, shard_mapped over a ``("chan", "vis")`` mesh:
+MXU dense-matmul gridding per W slice (:mod:`..ops.mxu_gridder`), FFT +
+W-correction accumulation, and batched CLEAN minor cycles — expressed as
+ONE jitted function over stacked per-channel arrays, shard_mapped over a
+``("chan", "vis")`` mesh:
 
 - every ``[C, ...]`` input/output is sharded over ``chan`` (pure data
   parallelism; zero communication);
-- the visibility axis ``M`` is sharded over ``vis``: each shard grids its
-  visibilities locally, and per-slice grids (and the weight grid) are
-  reduced with ``lax.psum`` over ``vis`` — the BASELINE's "visibility
-  buckets + psum image reduction" configuration.
+- the chunk axis ``NC`` (each chunk is a Morton-bucketed visibility block
+  with a bounded grid window) is sharded over ``vis``: each shard grids its
+  chunks locally and per-slice grids (and the weight grid) are reduced with
+  ``lax.psum`` — the BASELINE's "visibility buckets + psum image reduction"
+  configuration.
 
 All shapes are static: channels in one batch share (pixels, kernel_width,
-oversample, w_slices, padded vis-per-slice); per-channel physics
+oversample, w_slices, chunks-per-slice, chunk capacity); per-channel physics
 (wavelength-dependent pixel size, kernel tables, mid-w values) are traced
 array inputs, so one compilation serves every channel batch.
 """
@@ -27,11 +29,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import clean as clean_ops
+from ..ops import mxu_gridder
 from ..ops.fourier import grid_to_image_impl
-from ..ops.gridder import grid_vis_impl
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,7 +46,10 @@ class MultiChannelConfig:
     oversample: int
     w_planes: int
     w_slices: int
-    vis_per_slice: int
+    chunks_per_slice: int   # NC (padded)
+    chunk_size: int         # Mc
+    rv: int = 64
+    ru: int = 64
     # CLEAN stage (0 minor cycles disables it)
     minor_cycles: int = 0
     patch: int = 33
@@ -62,22 +67,28 @@ class MultiChannelConfig:
 
 
 class ChannelBatch(NamedTuple):
-    """Stacked per-channel inputs (leading axis C = channels)."""
+    """Stacked per-channel inputs.
+
+    Leading axes: C channels, S w-slices, NC chunks, Mc vis per chunk.
+    """
 
     kernel: jnp.ndarray       # (C, W, O, K) complex64
     taper1d: jnp.ndarray      # (C, N) real
     pixel_size: jnp.ndarray   # (C,) real
     mid_w: jnp.ndarray        # (C, S) real
-    uv: jnp.ndarray           # (C, S, M, 2) int16  (centred)
-    sub_uv: jnp.ndarray       # (C, S, M, 2) int16
-    w_plane: jnp.ndarray      # (C, S, M) int16
-    weights: jnp.ndarray      # (C, S, M, P) float32
-    vis: jnp.ndarray          # (C, S, M, P) complex64
+    uv: jnp.ndarray           # (C, S, NC, Mc, 2) int32 (centred)
+    sub_uv: jnp.ndarray       # (C, S, NC, Mc, 2) int32
+    w_plane: jnp.ndarray      # (C, S, NC, Mc) int32
+    anchor: jnp.ndarray       # (C, S, NC, 2) int32
+    valid: jnp.ndarray        # (C, S, NC, Mc) bool
+    weights: jnp.ndarray      # (C, S, NC, Mc, P) float32
+    vis: jnp.ndarray          # (C, S, NC, Mc, P) complex64
 
 
 def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
-                      mid_w, uv, sub_uv, w_plane, weights, vis, vis_axis):
-    """One channel's full step on this shard's visibilities.
+                      mid_w, uv, sub_uv, w_plane, anchor, valid, weights,
+                      vis, vis_axis):
+    """One channel's full step on this shard's chunks.
 
     ``vis_axis`` is the mesh axis name for psum reductions (or None when
     running unsharded).
@@ -90,29 +101,29 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     # ---- imaging weights: uniform density (d = 1/W per occupied cell)
     half = N // 2
     flat_uv = uv.reshape(-1, 2)
-    flat_w = weights.reshape(-1, Pp)
+    flat_w = (weights * valid[..., None]).reshape(-1, Pp)
     wgrid = jnp.zeros((Pp, N, N), jnp.float32)
-    wgrid = wgrid.at[:, flat_uv[:, 1].astype(jnp.int32) + half,
-                     flat_uv[:, 0].astype(jnp.int32) + half].add(
+    wgrid = wgrid.at[:, flat_uv[:, 1] + half, flat_uv[:, 0] + half].add(
         flat_w.T, mode="drop")
     wgrid = psum(wgrid)
     density = jnp.where(wgrid > 0, 1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
 
-    # ---- W-stacked dirty image
-    def body(dirty, xs):
-        uv_s, sub_s, wp_s, vis_s, w_mid = xs
-        grid = jnp.zeros((Pp, N, N), vis.dtype)
-        grid = grid_vis_impl(grid, kernel, density, uv_s, sub_s, wp_s, vis_s,
-                             pixels=N)
-        grid = psum(grid)
+    # ---- W-stacked dirty image via the MXU chunk gridder
+    def slice_body(dirty, xs):
+        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid = xs
+        gpad = jnp.zeros((Pp, N + cfg.rv, N + cfg.ru), vis.dtype)
+        gpad = mxu_gridder.grid_chunks_impl(
+            gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
+            pixels=N, rv=cfg.rv, ru=cfg.ru)
+        grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
                                    pixels=N)
         return dirty, None
 
     dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
     dirty, _ = jax.lax.scan(
-        body, dirty0,
-        (uv, sub_uv, w_plane, vis, mid_w))
+        slice_body, dirty0,
+        (uv, sub_uv, w_plane, anchor, valid, vis, mid_w))
 
     if cfg.minor_cycles == 0:
         return dirty, jnp.zeros_like(dirty)
@@ -121,10 +132,9 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     ccfg = cfg.clean_cfg
     pk = dirty[:, N // 2, N // 2]
     scale = jnp.where(pk != 0, 1.0 / jnp.where(pk != 0, pk, 1.0), 0.0)
-    # The PSF here is approximated by the central patch of the dirty beam
-    # of this channel: grid the weights as "visibilities" cheaply by reusing
-    # the dirty image normalisation (full PSF handling lives in the
-    # orchestration layer; this step benchmarks the device loop).
+    # PSF approximated by the normalised central dirty patch; the full PSF
+    # handling lives in the orchestration layer — this step benchmarks the
+    # on-device loop.
     patch = jax.lax.dynamic_slice(
         dirty * scale[:, None, None],
         (0, N // 2 - cfg.patch // 2, N // 2 - cfg.patch // 2),
@@ -146,24 +156,25 @@ def make_imaging_step(mesh: Mesh, cfg: MultiChannelConfig):
     """Build the jitted, sharded multi-channel imaging step.
 
     Returns ``step(batch: ChannelBatch) -> (residual, model)`` with all
-    ``[C, ...]`` arrays sharded over the ``chan`` mesh axis and the
-    visibility axis sharded over ``vis``.
+    ``[C, ...]`` arrays sharded over the ``chan`` mesh axis and the chunk
+    axis sharded over ``vis``.
     """
     shard_map = jax.shard_map
 
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
-                 weights, vis):
+                 anchor, valid, weights, vis):
         def one(args):
             return _channel_pipeline(cfg, *args, vis_axis="vis")
 
         return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
-                              sub_uv, w_plane, weights, vis))
+                              sub_uv, w_plane, anchor, valid, weights, vis))
 
     chan = P("chan")
-    vis_spec = P("chan", None, "vis")          # (C, S, M, ...)
-    vis_spec2 = P("chan", None, "vis", None)
-    in_specs = (chan, chan, chan, chan, vis_spec2, vis_spec2, vis_spec,
-                vis_spec2, vis_spec2)
+    # (C, S, NC, ...) with NC sharded over "vis"
+    c5 = P("chan", None, "vis", None, None)
+    c4 = P("chan", None, "vis", None)
+    c3 = P("chan", None, "vis")
+    in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5, c5)
     out_specs = (chan, chan)
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
@@ -173,7 +184,7 @@ def make_imaging_step(mesh: Mesh, cfg: MultiChannelConfig):
     def step(batch: ChannelBatch):
         return jitted(batch.kernel, batch.taper1d, batch.pixel_size,
                       batch.mid_w, batch.uv, batch.sub_uv, batch.w_plane,
-                      batch.weights, batch.vis)
+                      batch.anchor, batch.valid, batch.weights, batch.vis)
 
     return step
 
@@ -182,28 +193,60 @@ def single_channel_step(cfg: MultiChannelConfig):
     """Unsharded single-channel forward (for compile checks / benchmarks).
 
     Returns a jittable ``fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv,
-    w_plane, weights, vis) -> (residual, model)``.
+    w_plane, anchor, valid, weights, vis) -> (residual, model)``.
     """
 
-    def fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
-           weights, vis):
+    def fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane, anchor,
+           valid, weights, vis):
         return _channel_pipeline(cfg, kernel, taper1d, pixel_size, mid_w,
-                                 uv, sub_uv, w_plane, weights, vis,
-                                 vis_axis=None)
+                                 uv, sub_uv, w_plane, anchor, valid,
+                                 weights, vis, vis_axis=None)
 
     return fn
 
 
+def chunk_channel(cfg: MultiChannelConfig, uv, sub_uv, w_plane, vis,
+                  weights):
+    """Plan one (channel, slice) into the padded chunk layout of the batch."""
+    plan = mxu_gridder.plan_chunks(
+        np.asarray(uv, np.int16), np.asarray(sub_uv, np.int16),
+        np.asarray(w_plane, np.int16), np.asarray(vis, np.complex64),
+        np.asarray(weights, np.float32), pixels=cfg.pixels,
+        kernel_width=cfg.kernel_width, rv=cfg.rv, ru=cfg.ru,
+        mc=cfg.chunk_size)
+    NC = cfg.chunks_per_slice
+    # plan_chunks pads its chunk axis to a power of two; trim to the chunks
+    # that actually hold visibilities before re-padding to the batch layout.
+    nc = int(plan.valid.any(axis=1).sum())
+    if nc > NC:
+        raise ValueError(f"slice needs {nc} chunks > configured {NC}")
+
+    def padnc(a):
+        out = np.zeros((NC,) + a.shape[1:], a.dtype)
+        out[:nc] = a[:nc]
+        return out
+
+    return (padnc(plan.uv), padnc(plan.sub_uv), padnc(plan.w_plane),
+            padnc(plan.anchor), padnc(plan.valid), padnc(plan.weights),
+            padnc(plan.vis))
+
+
 def make_example_batch(cfg: MultiChannelConfig, num_channels: int,
-                       seed: int = 0, base_frequency: float = 1.0e9):
+                       seed: int = 0, base_frequency: float = 1.0e9,
+                       vis_per_slice: int | None = None) -> ChannelBatch:
     """Synthesize a valid ChannelBatch for compile checks and benchmarks."""
     from .. import parameters, polarization
     from ..ops import wkernel
     from ..units import C_M_PER_S
 
     rng = np.random.default_rng(seed)
-    C, S, M = num_channels, cfg.w_slices, cfg.vis_per_slice
+    C, S = num_channels, cfg.w_slices
     N, K, O, Pp = cfg.pixels, cfg.kernel_width, cfg.oversample, cfg.num_pols
+    NC, Mc = cfg.chunks_per_slice, cfg.chunk_size
+    if vis_per_slice is None:
+        # Leave headroom: clustered data packs densely but not perfectly,
+        # and small windows fragment sparse outskirts into partial chunks.
+        vis_per_slice = NC * Mc // 4
 
     kernels = np.empty((C, cfg.w_planes, O, K), np.complex64)
     tapers = np.empty((C, N), np.float32)
@@ -225,15 +268,41 @@ def make_example_batch(cfg: MultiChannelConfig, num_channels: int,
         mid_ws[c] = wkernel.mid_w_values(ip, gp).astype(np.float32)
 
     lim = N // 2 - K - 1
-    uv = rng.integers(-lim, lim, size=(C, S, M, 2)).astype(np.int16)
-    sub_uv = rng.integers(0, O, size=(C, S, M, 2)).astype(np.int16)
-    w_plane = rng.integers(0, cfg.w_planes, size=(C, S, M)).astype(np.int16)
-    weights = rng.uniform(0.5, 2.0, size=(C, S, M, Pp)).astype(np.float32)
-    vis = (rng.normal(size=(C, S, M, Pp))
-           + 1j * rng.normal(size=(C, S, M, Pp))).astype(np.complex64)
+    shape5 = (C, S, NC, Mc)
+    out = {name: np.zeros(shape5 + tail, dt) for name, tail, dt in [
+        ("uv", (2,), np.int32), ("sub_uv", (2,), np.int32),
+        ("w_plane", (), np.int32), ("weights", (Pp,), np.float32),
+        ("vis", (Pp,), np.complex64)]}
+    anchors = np.zeros((C, S, NC, 2), np.int32)
+    valids = np.zeros(shape5, bool)
+    M = vis_per_slice
+    for c in range(C):
+        for s in range(S):
+            while True:
+                # clustered UV (realistic dense centre)
+                uv = np.clip(rng.normal(scale=lim / 3, size=(M, 2)),
+                             -lim, lim).astype(np.int16)
+                sub = rng.integers(0, O, size=(M, 2)).astype(np.int16)
+                wp = rng.integers(0, cfg.w_planes, size=M).astype(np.int16)
+                vis = (rng.normal(size=(M, Pp))
+                       + 1j * rng.normal(size=(M, Pp))).astype(np.complex64)
+                wt = rng.uniform(0.5, 2.0, size=(M, Pp)).astype(np.float32)
+                try:
+                    (out["uv"][c, s], out["sub_uv"][c, s],
+                     out["w_plane"][c, s], anchors[c, s], valids[c, s],
+                     out["weights"][c, s], out["vis"][c, s]) = chunk_channel(
+                        cfg, uv, sub, wp, vis, wt)
+                    break
+                except ValueError:
+                    # Fragmentation exceeded the layout; thin the data.
+                    M //= 2
+                    if M == 0:
+                        raise
+
     return ChannelBatch(
         kernel=jnp.asarray(kernels), taper1d=jnp.asarray(tapers),
         pixel_size=jnp.asarray(pixel_sizes), mid_w=jnp.asarray(mid_ws),
-        uv=jnp.asarray(uv), sub_uv=jnp.asarray(sub_uv),
-        w_plane=jnp.asarray(w_plane), weights=jnp.asarray(weights),
-        vis=jnp.asarray(vis))
+        uv=jnp.asarray(out["uv"]), sub_uv=jnp.asarray(out["sub_uv"]),
+        w_plane=jnp.asarray(out["w_plane"]), anchor=jnp.asarray(anchors),
+        valid=jnp.asarray(valids), weights=jnp.asarray(out["weights"]),
+        vis=jnp.asarray(out["vis"]))
