@@ -121,7 +121,7 @@ def antialias_w_kernel(
     # because it encodes the visibility's subpixel position, not the tap's.
     kernel = uv_values.reshape(w.shape + (width, oversample))[..., ::-1]
     kernel = np.swapaxes(kernel, -2, -1)
-    return np.ascontiguousarray(kernel.astype(np.complex64))
+    return np.ascontiguousarray(kernel)
 
 
 def plane_w_values(image_parameters, grid_parameters) -> np.ndarray:
@@ -142,13 +142,14 @@ def plane_w_values(image_parameters, grid_parameters) -> np.ndarray:
 
 def make_convolution_kernel(image_parameters, grid_parameters) -> np.ndarray:
     """Tabulate the full kernel stack for one channel:
-    shape (w_planes, oversample, kernel_width) complex64."""
+    shape (w_planes, oversample, kernel_width), in the image's complex
+    dtype (tabulation is internally double precision)."""
     gp = grid_parameters
     ip = image_parameters
     cell_wavelengths = ip.cell_size / ip.wavelength
     beta = default_beta(gp.fixed.antialias_width)
     ws = plane_w_values(ip, gp)
-    return antialias_w_kernel(
+    kern = antialias_w_kernel(
         cell_wavelengths,
         ws,
         gp.fixed.kernel_width,
@@ -157,6 +158,7 @@ def make_convolution_kernel(image_parameters, grid_parameters) -> np.ndarray:
         gp.fixed.image_oversample,
         beta,
     )
+    return kern.astype(ip.fixed.complex_dtype)
 
 
 def taper(N: int, antialias_width: float, oversample: int,
