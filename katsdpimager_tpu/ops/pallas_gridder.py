@@ -1,0 +1,158 @@
+r"""Pallas TPU kernel for chunked grid accumulation.
+
+The MXU gridder (:mod:`.mxu_gridder`) evaluates, per Morton chunk, a
+rank-``Mc`` matrix product ``V @ U`` and adds it into a
+``(Rv+K) x (Ru+K)`` window of the UV grid.  The XLA formulation does this
+with a ``lax.scan`` whose per-step window read-modify-write round-trips
+through HBM between iterations.  This module moves the band product and the
+window accumulation into one Pallas kernel:
+
+- the factor matrices (assembled gather-only in XLA, split into real and
+  imaginary planes) stream through VMEM via ``BlockSpec`` — Pallas
+  double-buffers the next chunk's factors during the current matmul;
+- the complex band product runs as four real MXU matmuls in-kernel;
+- the grid stays in HBM (``pl.ANY``); each chunk's window is DMA'd into
+  VMEM scratch, accumulated, and DMA'd back.  TPU grid iterations execute
+  sequentially, so overlapping windows of consecutive chunks are safe.
+
+The kernel is numerically identical to ``mxu_gridder.grid_chunks_impl``
+(same factor matrices, same matmul), differing only in scheduling.
+``interpret=True`` is used automatically on non-TPU backends so the same
+code path is testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _band_kernel(anchors_ref, vr_ref, vi_ref, ur_ref, ui_ref,
+                 gre_in, gim_in, gre_out, gim_out, scratch_re, scratch_im,
+                 sem_re, sem_im):
+    """One grid step: band = V @ U (complex), window += band."""
+    c = pl.program_id(0)
+    av = anchors_ref[c, 0]
+    au = anchors_ref[c, 1]
+
+    vr = vr_ref[0]
+    vi = vi_ref[0]
+    ur = ur_ref[0]
+    ui = ui_ref[0]
+    band_re = (jnp.dot(vr, ur, preferred_element_type=jnp.float32)
+               - jnp.dot(vi, ui, preferred_element_type=jnp.float32))
+    band_im = (jnp.dot(vr, ui, preferred_element_type=jnp.float32)
+               + jnp.dot(vi, ur, preferred_element_type=jnp.float32))
+
+    h, w = scratch_re.shape
+    read_re = pltpu.make_async_copy(
+        gre_out.at[pl.ds(av, h), pl.ds(au, w)], scratch_re, sem_re)
+    read_im = pltpu.make_async_copy(
+        gim_out.at[pl.ds(av, h), pl.ds(au, w)], scratch_im, sem_im)
+    read_re.start()
+    read_im.start()
+    read_re.wait()
+    read_im.wait()
+    scratch_re[:] = scratch_re[:] + band_re
+    scratch_im[:] = scratch_im[:] + band_im
+    write_re = pltpu.make_async_copy(
+        scratch_re, gre_out.at[pl.ds(av, h), pl.ds(au, w)], sem_re)
+    write_im = pltpu.make_async_copy(
+        scratch_im, gim_out.at[pl.ds(av, h), pl.ds(au, w)], sem_im)
+    write_re.start()
+    write_im.start()
+    write_re.wait()
+    write_im.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0, 1))
+def band_accumulate(gre, gim, vr, vi, ur, ui, anchors, *,
+                    interpret: bool = False):
+    """Accumulate all chunk bands into the (padded) grid planes.
+
+    gre/gim: (Npv, Npu) float32 (donated).  vr/vi: (NC, RvK, Mc);
+    ur/ui: (NC, Mc, RuK); anchors: (NC, 2) int32 window origins.
+    """
+    nc, rvk, mc = vr.shape
+    ruk = ur.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, rvk, mc), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec((1, rvk, mc), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rvk, ruk), jnp.float32),
+            pltpu.VMEM((rvk, ruk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _band_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(gre.shape, jnp.float32),
+            jax.ShapeDtypeStruct(gim.shape, jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(anchors, vr, vi, ur, ui, gre, gim)
+
+
+def _assemble_factors(kernel, weights_grid, uv, sub_uv, w_plane, vis,
+                      anchor, valid, *, pixels: int, rv: int, ru: int):
+    """XLA gather-only factor assembly for a block of chunks (vmapped
+    version of mxu_gridder._chunk_factors, split into re/im planes)."""
+    from .mxu_gridder import _chunk_factors
+
+    def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
+        Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c, val_c,
+                                  pixels=pixels, rv=rv, ru=ru)
+        half = pixels // 2
+        uq = uv_c[:, 0] + half
+        vq = uv_c[:, 1] + half
+        dw = weights_grid[0, vq, uq]
+        sample = vis_c[:, 0] * dw
+        V = jnp.conj(Vt).T                          # (RvK, Mc)
+        U = sample[:, None] * jnp.conj(Utap)        # (Mc, RuK)
+        return V.real, V.imag, U.real, U.imag
+
+    return jax.vmap(one)(uv, sub_uv, w_plane, vis, anchor, valid)
+
+
+def grid_chunks_pallas(grid, kernel, weights_grid, plan_uv, plan_sub,
+                       plan_wp, plan_vis, plan_anchor, plan_valid, *,
+                       pixels: int, rv: int, ru: int,
+                       interpret: bool | None = None):
+    """Drop-in single-pol replacement for ``mxu_gridder.grid_chunks``:
+    factors assembled in XLA, band accumulation in the Pallas kernel.
+
+    ``grid`` is the PADDED (1, pixels+rv, pixels+ru) complex grid.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    assert grid.shape[0] == 1, "Pallas path currently supports 1 polarization"
+    vr, vi, ur, ui = _assemble_factors(
+        kernel, weights_grid, plan_uv, plan_sub, plan_wp, plan_vis,
+        plan_anchor, plan_valid, pixels=pixels, rv=rv, ru=ru)
+    gre, gim = band_accumulate(
+        grid[0].real.astype(jnp.float32), grid[0].imag.astype(jnp.float32),
+        vr, vi, ur, ui, plan_anchor, interpret=interpret)
+    return (gre + 1j * gim)[None].astype(grid.dtype)
