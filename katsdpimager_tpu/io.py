@@ -153,11 +153,45 @@ def write_fits_image(image: np.ndarray, image_parameters, filename: str,
 
 
 def write_fits_grid(grid: np.ndarray, image_parameters, filename: str):
-    """Write a UV grid (P, N, N complex) as a FITS file with real/imag as
-    separate polar... stored as amplitude for inspection (the reference
-    stores a complex-split format; for debug products amplitude suffices)."""
-    amp = np.abs(grid).astype(np.float32)
-    write_fits_image(amp, image_parameters, filename, bunit=None)
+    """Write a UV grid (P, N, N complex) to FITS with a COMPLEX axis
+    splitting real/imaginary parts and a metre-scaled UV WCS (parity with
+    reference io.py:228-270)."""
+    ip = image_parameters
+    grid = np.asarray(grid)
+    P, N = grid.shape[0], grid.shape[-1]
+    real_dtype = np.float32 if grid.dtype == np.complex64 else np.float64
+    split = grid.view(real_dtype).reshape(P, N, N, 2).transpose(3, 0, 1, 2)
+
+    cards = [("SIMPLE", True)]
+    bitpix = -32 if real_dtype == np.float32 else -64
+    cards.append(("BITPIX", bitpix))
+    cards.append(("NAXIS", 4))
+    cards.append(("NAXIS1", N))
+    cards.append(("NAXIS2", N))
+    cards.append(("NAXIS3", P))
+    cards.append(("NAXIS4", 2))
+    cards.append(("BUNIT", "Jy"))
+    cards.append(("ORIGIN", "katsdpimager-tpu"))
+    for axis in (1, 2):
+        cards.append((f"CUNIT{axis}", "m"))
+        cards.append((f"CRPIX{axis}", N // 2 + 1.0))
+        cards.append((f"CRVAL{axis}", 0.0))
+        cards.append((f"CDELT{axis}", ip.cell_size))
+    pol_permute = _fits_polarizations(cards, 3, ip.fixed.polarizations)
+    cards.append(("CTYPE4", "COMPLEX"))
+    cards.append(("CRPIX4", 1.0))
+    cards.append(("CRVAL4", 1.0))
+    cards.append(("CDELT4", 1.0))
+
+    data = split[:, pol_permute, :, :]
+    dtype = np.dtype(">f4") if bitpix == -32 else np.dtype(">f8")
+    raw = np.ascontiguousarray(data, dtype)
+    with open(filename, "wb") as f:
+        buf = b"".join(_format_card(*c) for c in cards) + _format_card("END", None)
+        f.write(buf + b" " * ((-len(buf)) % _BLOCK))
+        payload = raw.tobytes()
+        f.write(payload)
+        f.write(b"\0" * ((-len(payload)) % _BLOCK))
 
 
 def read_fits(filename: str):

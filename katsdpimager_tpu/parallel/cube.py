@@ -1,0 +1,281 @@
+"""Spectral-cube imaging: the FULL per-channel pipeline as one sharded
+device function, processed in waves of channels across the mesh.
+
+Where :mod:`.multichannel` provides the benchmarkable dirty+CLEAN step,
+this module runs the complete Cotton-Schwab loop on device per channel —
+weights, PSF, major cycles with degridding model subtraction, noise-derived
+thresholds — with exactly two host round-trips per wave:
+
+1. ``wave_image`` (sharded jit): everything through the last minor cycle;
+   returns residual, model and the PSF core per channel;
+2. host: restoring-beam fits (scipy, per channel, on the small PSF cores);
+3. ``wave_restore`` (sharded jit): Gaussian restore + residual add.
+
+Memory strategy: a wave holds ``C = mesh chan-size`` channels; each device
+owns one channel's images at a time, so arbitrarily long cubes stream
+through bounded HBM.  Per-channel physics are traced inputs (one
+compilation serves all waves).
+
+The CLEAN threshold logic mirrors the reference frontend (frontend.py:
+545-583): threshold = max(noise * sigma-scale, (1 - major_gain) * peak),
+with the noise estimated on device per major cycle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import clean as clean_ops
+from ..ops import mxu_gridder
+from ..ops.fourier import grid_to_image_impl, image_to_grid_impl
+
+
+@dataclasses.dataclass(frozen=True)
+class CubeConfig:
+    """Static configuration for cube-mode imaging."""
+
+    pixels: int
+    num_pols: int
+    kernel_width: int
+    oversample: int
+    w_planes: int
+    w_slices: int
+    chunks_per_slice: int
+    chunk_size: int
+    rv: int = 64
+    ru: int = 64
+    # CLEAN
+    majors: int = 2
+    minor: int = 512
+    patch: int = 65
+    psf_core: int = 64
+    border_pixels: int = 0
+    loop_gain: float = 0.1
+    major_gain: float = 0.85
+    threshold_sigma: float = 5.0
+    clean_mode: int = clean_ops.CLEAN_I
+    uniform_weights: bool = False
+
+    @property
+    def clean_cfg(self) -> clean_ops.CleanConfig:
+        return clean_ops.CleanConfig(
+            pixels=self.pixels, num_pols=self.num_pols,
+            border_pixels=self.border_pixels, patch_y=self.patch,
+            patch_x=self.patch, mode=self.clean_mode,
+            loop_gain=self.loop_gain)
+
+
+class WaveResult(NamedTuple):
+    residual: jnp.ndarray   # (C, P, N, N)
+    model: jnp.ndarray      # (C, P, N, N)
+    psf_core: jnp.ndarray   # (C, P, core, core)
+    noise: jnp.ndarray      # (C,)
+    psf_peak: jnp.ndarray   # (C, P)
+
+
+def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
+                 anchor, valid, vis, taper1d, pixel_size, mid_w, psum):
+    """W-stacked dirty image from chunked visibilities (device)."""
+    N = cfg.pixels
+    Pp = cfg.num_pols
+
+    def body(dirty, xs):
+        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid = xs
+        gpad = jnp.zeros((Pp, N + cfg.rv, N + cfg.ru), jnp.complex64)
+        gpad = mxu_gridder.grid_chunks_impl(
+            gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
+            pixels=N, rv=cfg.rv, ru=cfg.ru)
+        grid = psum(gpad[:, :N, :N])
+        dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
+                                   pixels=N)
+        return dirty, None
+
+    dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
+    dirty, _ = jax.lax.scan(body, dirty0,
+                            (uv, sub_uv, w_plane, anchor, valid, vis, mid_w))
+    return dirty
+
+
+def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
+                   anchor, valid, weights, vis, taper1d, pixel_size, mid_w):
+    """Subtract the degridded model from every slice's visibilities."""
+    N = cfg.pixels
+
+    def body(_, xs):
+        uv_s, sub_s, wp_s, anc_s, val_s, wt_s, vis_s, w_mid = xs
+        grid = image_to_grid_impl(model, taper1d, w_mid, pixel_size,
+                                  pixels=N)
+        gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
+        new_vis = mxu_gridder.degrid_chunks_impl(
+            gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
+            pixels=N, rv=cfg.rv, ru=cfg.ru)
+        return None, new_vis
+
+    _, new_vis = jax.lax.scan(
+        body, None,
+        (uv, sub_uv, w_plane, anchor, valid, weights, vis, mid_w))
+    return new_vis
+
+
+def _clean_stage(cfg: CubeConfig, residual, model, psf_patch_arr):
+    """One major cycle's CLEAN: reset tiles, derive the threshold on
+    device, run minor cycles.  Returns (residual, model, noise)."""
+    ccfg = cfg.clean_cfg
+    noise = clean_ops.noise_est(residual, border_pixels=cfg.border_pixels)
+    pad = ccfg.pad
+    res_pad = jnp.pad(residual, ((0, 0), (pad, pad), (pad, pad)))
+    T = ccfg.tiles
+    state = clean_ops.CleanState(
+        res_pad, model, jnp.zeros((T, T), residual.dtype),
+        jnp.zeros((T, T, 2), jnp.int32))
+    state = clean_ops.reset(ccfg, state)
+
+    # First cycle measures the starting peak (threshold 0 always fires).
+    state, _k, first_peak, _last = clean_ops.minor_cycles_impl(
+        ccfg, state, psf_patch_arr, jnp.zeros((), residual.dtype), 1)
+    nts = clean_ops.noise_threshold_scale(cfg.clean_mode,
+                                          cfg.threshold_sigma, cfg.num_pols)
+    if cfg.clean_mode == clean_ops.CLEAN_SUMSQ:
+        peak_power = jnp.sqrt(first_peak)
+    else:
+        peak_power = first_peak
+    threshold_power = jnp.maximum(noise * nts,
+                                  (1.0 - cfg.major_gain) * peak_power)
+    if cfg.clean_mode == clean_ops.CLEAN_SUMSQ:
+        threshold = threshold_power * threshold_power
+    else:
+        threshold = threshold_power
+    state, _k2, _f2, _l2 = clean_ops.minor_cycles_impl(
+        ccfg, state, psf_patch_arr, threshold, cfg.minor - 1)
+    return clean_ops.residual_image(ccfg, state), state.model, noise
+
+
+def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
+                           mid_w, uv, sub_uv, w_plane, anchor, valid,
+                           weights, vis, vis_axis):
+    N = cfg.pixels
+    Pp = cfg.num_pols
+    psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
+                                                          axis_name=vis_axis)
+    half = N // 2
+
+    # ---- imaging weights
+    if cfg.uniform_weights:
+        flat_uv = uv.reshape(-1, 2)
+        flat_w = (weights * valid[..., None]).reshape(-1, Pp)
+        wgrid = jnp.zeros((Pp, N, N), jnp.float32)
+        wgrid = wgrid.at[:, flat_uv[:, 1] + half, flat_uv[:, 0] + half].add(
+            flat_w.T, mode="drop")
+        wgrid = psum(wgrid)
+        density = jnp.where(wgrid > 0,
+                            1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
+    else:
+        density = jnp.ones((Pp, N, N), jnp.float32)
+
+    grid_fn = partial(_grid_slices, cfg, kernel, density, uv, sub_uv,
+                      w_plane, anchor, valid)
+
+    # ---- PSF: grid the weights as "visibilities"
+    psf = grid_fn(weights.astype(jnp.complex64) * valid[..., None],
+                  taper1d, pixel_size, mid_w, psum)
+    psf_peak = psf[:, half, half]
+    scale = jnp.where(psf_peak != 0,
+                      1.0 / jnp.where(psf_peak != 0, psf_peak, 1.0), 0.0)
+    psf = psf * scale[:, None, None]
+    patch = jax.lax.dynamic_slice(
+        psf, (0, half - cfg.patch // 2, half - cfg.patch // 2),
+        (Pp, cfg.patch, cfg.patch))
+    core = jax.lax.dynamic_slice(
+        psf, (0, half - cfg.psf_core // 2, half - cfg.psf_core // 2),
+        (Pp, cfg.psf_core, cfg.psf_core))
+
+    # ---- major cycles
+    model = jnp.zeros((Pp, N, N), taper1d.dtype)
+    noise = jnp.zeros((), taper1d.dtype)
+    cur_vis = vis
+    for major in range(cfg.majors):
+        if major > 0:
+            cur_vis = _degrid_slices(cfg, kernel, model, uv, sub_uv,
+                                     w_plane, anchor, valid, weights, vis,
+                                     taper1d, pixel_size, mid_w)
+        dirty = grid_fn(cur_vis, taper1d, pixel_size, mid_w, psum)
+        dirty = dirty * scale[:, None, None]
+        residual, model, noise = _clean_stage(cfg, dirty, model, patch)
+    return residual, model, core, noise, psf_peak
+
+
+def make_wave_image(mesh: Mesh, cfg: CubeConfig):
+    """Sharded jitted wave function: batch of C channels -> WaveResult."""
+    shard_map = jax.shard_map
+
+    def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+                 anchor, valid, weights, vis):
+        def one(args):
+            return _channel_cube_pipeline(cfg, *args, vis_axis="vis")
+
+        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
+                              sub_uv, w_plane, anchor, valid, weights, vis))
+
+    chan = P("chan")
+    c5 = P("chan", None, "vis", None, None)
+    c4 = P("chan", None, "vis", None)
+    in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5, c5)
+    out_specs = (chan, chan, chan, chan, chan)
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    jitted = jax.jit(fn)
+
+    def wave(batch) -> WaveResult:
+        return WaveResult(*jitted(
+            batch.kernel, batch.taper1d, batch.pixel_size, batch.mid_w,
+            batch.uv, batch.sub_uv, batch.w_plane, batch.anchor,
+            batch.valid, batch.weights, batch.vis))
+
+    return wave
+
+
+def make_wave_restore(mesh: Mesh, cfg: CubeConfig):
+    """Sharded restore: convolve models with per-channel Gaussian beams and
+    add residuals.  ``beam_m`` is (C, 2, 2): the covariance square root of
+    each channel's fitted beam in pixels."""
+    N = cfg.pixels
+
+    def one(model, residual, beam_m):
+        model_ft = jnp.fft.fft2(model, axes=(-2, -1))
+        freqs = jnp.fft.fftfreq(N).astype(model.dtype)
+        coords = jnp.stack(jnp.meshgrid(freqs, freqs, indexing="ij"),
+                           axis=-1)
+        rot = jnp.einsum("yxj,ij->yxi", coords, beam_m)
+        r2 = jnp.sum(rot ** 2, axis=-1)
+        det = jnp.abs(beam_m[0, 0] * beam_m[1, 1]
+                      - beam_m[0, 1] * beam_m[1, 0])
+        beam_ft = (2 * jnp.pi) * det * jnp.exp(-2.0 * (jnp.pi ** 2) * r2)
+        restored = jnp.fft.ifft2(model_ft * beam_ft[None], axes=(-2, -1)).real
+        return restored.astype(model.dtype) + residual
+
+    fn = jax.shard_map(
+        jax.vmap(one), mesh=mesh,
+        in_specs=(P("chan"), P("chan"), P("chan")),
+        out_specs=P("chan"), check_vma=False)
+    return jax.jit(fn)
+
+
+def fit_wave_beams(psf_cores: np.ndarray) -> np.ndarray:
+    """Fit restoring beams on the host for a wave; returns (C, 2, 2)
+    covariance square roots plus the Beam list."""
+    from ..ops import beam as beam_ops
+
+    ms = []
+    beams = []
+    for core in psf_cores:
+        b = beam_ops.fit_beam(core[0])
+        beams.append(b)
+        ms.append(b.covariance_sqrt())
+    return np.stack(ms).astype(np.float32), beams
