@@ -1,0 +1,209 @@
+"""Cube-mode orchestration: image a spectral cube in sharded device waves.
+
+The general frontend (:mod:`.frontend`) drives one channel at a time with
+host-side control between stages — maximum flexibility (per-channel PSF
+patches, direct prediction, primary beam).  This module is the production
+fast path for large cubes (BASELINE configs 4-5): channels are processed in
+waves of ``mesh chan-size``, each wave running the FULL pipeline
+(:mod:`.parallel.cube`) in two jitted sharded calls, with beam fitting as
+the only host work in between.
+
+Deviations from the per-channel path, by design:
+
+- the CLEAN PSF patch is a fixed configured size (``--cube-psf-patch``)
+  instead of per-channel auto-sizing (static shapes across the wave);
+- model prediction uses degridding (fully on device); direct prediction
+  remains available in the per-channel path;
+- weighting is natural or uniform (robust needs the extra mean-weight pass;
+  use the per-channel path).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import frontend, parameters, polarization, preprocess
+from .ops import beam as beam_ops
+from .ops import clean as clean_ops
+from .ops import mxu_gridder, wkernel
+from .ops import weights as weight_ops
+from .parallel import cube, make_mesh
+from .parallel.multichannel import ChannelBatch, chunk_channel
+
+logger = logging.getLogger(__name__)
+
+
+def _plan_layout(reader, num_channels: int, cfg_template: dict) -> dict:
+    """Measure chunk requirements over the wave and size NC with headroom."""
+    probe = mxu_gridder.MxuGridder(
+        pixels=cfg_template["pixels"],
+        kernel_width=cfg_template["kernel_width"],
+        num_pols=cfg_template["num_pols"],
+        rv=cfg_template["rv"], ru=cfg_template["ru"],
+        mc=cfg_template["chunk_size"])
+    max_nc = 1
+    for c in range(num_channels):
+        for s in range(reader.num_w_slices(c)):
+            chk = reader.slice_arrays(c, s)
+            if len(chk) == 0:
+                continue
+            plan = probe.plan(chk.uv, chk.sub_uv, chk.w_plane,
+                              np.asarray(chk.vis), chk.weights)
+            nc = int(plan.valid.any(axis=1).sum())
+            max_nc = max(max_nc, nc)
+    nc = 1
+    while nc < max_nc:
+        nc *= 2
+    cfg_template["chunks_per_slice"] = nc
+    return cfg_template
+
+
+def build_wave_batch(cfg: cube.CubeConfig, reader, image_ps, grid_ps,
+                     wave_channels: List[int], start: int) -> ChannelBatch:
+    """Pack a wave of channels into the static chunked batch layout."""
+    C, S, N = len(wave_channels), cfg.w_slices, cfg.pixels
+    NC, Mc, Pp = cfg.chunks_per_slice, cfg.chunk_size, cfg.num_pols
+    kernels = np.zeros((C, cfg.w_planes, cfg.oversample, cfg.kernel_width),
+                      np.complex64)
+    tapers = np.zeros((C, N), np.float32)
+    psizes = np.zeros((C,), np.float32)
+    midws = np.zeros((C, S), np.float32)
+    uv = np.zeros((C, S, NC, Mc, 2), np.int32)
+    sub = np.zeros((C, S, NC, Mc, 2), np.int32)
+    wp = np.zeros((C, S, NC, Mc), np.int32)
+    anc = np.zeros((C, S, NC, 2), np.int32)
+    val = np.zeros((C, S, NC, Mc), bool)
+    wts = np.zeros((C, S, NC, Mc, Pp), np.float32)
+    vis = np.zeros((C, S, NC, Mc, Pp), np.complex64)
+    for i, ch in enumerate(wave_channels):
+        rel = ch - start
+        ip, gp = image_ps[rel], grid_ps[rel]
+        kernels[i] = wkernel.make_convolution_kernel(ip, gp)
+        tapers[i] = wkernel.taper(
+            N, gp.fixed.antialias_width, gp.fixed.oversample
+        ).astype(np.float32)
+        psizes[i] = ip.pixel_size
+        midws[i] = wkernel.mid_w_values(ip, gp).astype(np.float32)
+        for s in range(min(S, reader.num_w_slices(rel))):
+            chk = reader.slice_arrays(rel, s)
+            if len(chk) == 0:
+                continue
+            (uv[i, s], sub[i, s], wp[i, s], anc[i, s], val[i, s],
+             wts[i, s], vis[i, s]) = chunk_channel(
+                cfg, chk.uv, chk.sub_uv, chk.w_plane, chk.vis, chk.weights)
+    return ChannelBatch(
+        kernel=jnp.asarray(kernels), taper1d=jnp.asarray(tapers),
+        pixel_size=jnp.asarray(psizes), mid_w=jnp.asarray(midws),
+        uv=jnp.asarray(uv), sub_uv=jnp.asarray(sub),
+        w_plane=jnp.asarray(wp), anchor=jnp.asarray(anc),
+        valid=jnp.asarray(val), weights=jnp.asarray(wts),
+        vis=jnp.asarray(vis))
+
+
+def run_cube(args, dataset, writer) -> None:
+    """Image the requested channel range in sharded waves."""
+    input_polarizations = dataset.polarizations()
+    mueller = (polarization.polarization_matrix(args.stokes,
+                                                input_polarizations), None)
+    if dataset.has_feed_angles():
+        mueller = polarization.polarization_matrices(args.stokes,
+                                                     input_polarizations)
+    array_p = dataset.array_parameters()
+    if args.stop_channel is None:
+        args.stop_channel = dataset.num_channels()
+    fixed_image_p = parameters.FixedImageParameters(tuple(args.stokes),
+                                                    args.precision)
+    from .units import parse_quantity
+
+    max_w = (array_p.longest_baseline if args.max_w is None
+             else parse_quantity(args.max_w).value)
+    fixed_grid_p = parameters.FixedGridParameters(
+        args.aa_width, args.grid_oversample, args.kernel_image_oversample,
+        max_w, args.kernel_width, True, None)
+
+    mesh = make_mesh(vis_shards=getattr(args, "vis_shards", 1))
+    wave_size = mesh.shape["chan"]
+    clean_mode = (clean_ops.CLEAN_I if args.clean_mode == "I"
+                  else clean_ops.CLEAN_SUMSQ)
+
+    wave_fn = None
+    restore_fn = None
+    cfg = None
+    channels = list(range(args.start_channel, args.stop_channel))
+    for wave_start in range(0, len(channels), wave_size):
+        wave_channels = channels[wave_start:wave_start + wave_size]
+        # Pad the last wave by repeating the final channel.
+        padded = wave_channels + [wave_channels[-1]] * (
+            wave_size - len(wave_channels))
+        start = wave_channels[0]
+        stop = wave_channels[-1] + 1
+        params = [frontend.ChannelParameters(args, dataset, ch, array_p,
+                                             fixed_image_p, fixed_grid_p)
+                  for ch in range(start, stop)]
+        image_ps = [p.image_p for p in params]
+        grid_ps = [p.grid_p for p in params]
+        # All channels of a wave must share static geometry.
+        w_slices = max(gp.w_slices for gp in grid_ps)
+        w_planes = max(gp.w_planes for gp in grid_ps)
+        grid_ps = [parameters.GridParameters(fixed_grid_p, w_slices, w_planes)
+                   for _ in grid_ps]
+
+        collector = frontend.preprocess_visibilities(
+            dataset, args, start, stop, image_ps, grid_ps, mueller)
+        reader = collector.reader()
+
+        if cfg is None:
+            template = dict(
+                pixels=image_ps[0].pixels,
+                num_pols=fixed_image_p.num_polarizations,
+                kernel_width=args.kernel_width,
+                oversample=args.grid_oversample,
+                w_planes=w_planes, w_slices=w_slices,
+                chunk_size=256, rv=64, ru=64,
+                majors=args.major, minor=args.minor,
+                patch=getattr(args, "cube_psf_patch", 65),
+                psf_core=64,
+                border_pixels=round(args.border * image_ps[0].pixels),
+                loop_gain=args.loop_gain, major_gain=args.major_gain,
+                threshold_sigma=args.threshold, clean_mode=clean_mode,
+                uniform_weights=(args.weight_type == "uniform"),
+            )
+            template = _plan_layout(reader, len(image_ps), template)
+            # headroom for later waves
+            template["chunks_per_slice"] *= 2
+            cfg = cube.CubeConfig(**template)
+            wave_fn = cube.make_wave_image(mesh, cfg)
+            restore_fn = cube.make_wave_restore(mesh, cfg)
+            logger.info("Cube config: %s", cfg)
+
+        batch = build_wave_batch(cfg, reader, image_ps, grid_ps, padded,
+                                 start)
+        result = wave_fn(batch)
+        ms, beams = cube.fit_wave_beams(np.asarray(result.psf_core))
+        final = np.asarray(restore_fn(result.model, result.residual,
+                                      jnp.asarray(ms)))
+        noise = np.asarray(result.noise)
+        for i, ch in enumerate(wave_channels):
+            rel = ch - start
+            image_p = image_ps[rel]
+            writer.write_fits_image("clean", "clean image", dataset,
+                                    final[i], image_p, ch, beams[i])
+            pbeam = np.ones(final[i].shape[-2:], final.dtype)
+            peak = frontend.find_peak(final[i], pbeam, float(noise[i]))
+            totals = frontend.get_totals(image_p, final[i], beams[i])
+            writer.statistics(
+                dataset, ch, major=cfg.majors, minor=-1, peak=peak,
+                totals=totals, noise=float(noise[i]), weights_noise=None,
+                normalized_noise=1.0,
+                psf_patch_size=(cfg.patch, cfg.patch),
+                compressed_vis=sum(
+                    reader.len(rel, s) for s in range(w_slices)),
+                image_parameters=image_p, grid_parameters=grid_ps[rel],
+                clean_parameters=None, restoring_beam=beams[i])
+        reader.close()

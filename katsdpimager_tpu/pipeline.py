@@ -168,6 +168,15 @@ def main(argv=None) -> int:
     parser.add_argument("--prefix", default="image")
     parser.add_argument("--no-thumbnails", dest="thumbnails",
                         action="store_false", default=True)
+    parser.add_argument("--cube", action="store_true",
+                        help="Image channels in sharded device waves "
+                             "(production fast path for large cubes)")
+    parser.add_argument("--vis-shards", type=int, default=1,
+                        help="Devices cooperating per channel in --cube "
+                             "mode [%(default)s]")
+    parser.add_argument("--cube-psf-patch", type=int, default=65,
+                        help="Fixed CLEAN PSF patch size in --cube mode "
+                             "[%(default)s]")
     parser.add_argument("--log-level", default="INFO")
     frontend.add_options(parser)
     args = parser.parse_args(argv, namespace=arguments.SmartNamespace())
@@ -177,7 +186,12 @@ def main(argv=None) -> int:
                           args.start_channel, args.stop_channel)
     try:
         writer = PipelineWriter(args.output_dir, args.prefix, args.thumbnails)
-        frontend.run(args, dataset, writer)
+        if args.cube:
+            from . import cube_frontend
+
+            cube_frontend.run_cube(args, dataset, writer)
+        else:
+            frontend.run(args, dataset, writer)
         stop = (args.stop_channel if args.stop_channel is not None
                 else dataset.num_channels())
         writer.finalize(dataset, range(args.start_channel, stop))

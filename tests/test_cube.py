@@ -147,3 +147,32 @@ class TestCubeMode:
         # -- simpler: compare total model flux rather than exact layout.
         total_cube = model_cube.sum()
         assert total_cube > 0.5  # CLEAN pulled real flux into the model
+
+
+class TestCubePipelineCLI:
+    def test_cube_pipeline_e2e(self, tmp_path):
+        """8 channels imaged in sharded waves through the pipeline CLI."""
+        import json
+
+        from katsdpimager_tpu import pipeline
+
+        sim_path = str(tmp_path / "cube8.h5")
+        simulate.make_sim_dataset(sim_path, num_antennas=16, num_times=16,
+                                  num_channels=8, max_radius=800.0)
+        outdir = str(tmp_path / "out")
+        rc = pipeline.main([
+            sim_path, outdir, "--cube", "--pixels", "256",
+            "--kernel-width", "12", "--minor", "100", "--major", "2",
+            "--loop-gain", "0.25", "--no-thumbnails",
+        ])
+        assert rc == 0
+        with open(f"{outdir}/state.json") as f:
+            state = json.load(f)
+        done = [k for k in state if k.startswith("status/")]
+        assert len(done) == 8
+        truth_total = sum(s.flux_iquv[0] for s in simulate.DEFAULT_SOURCES)
+        for ch in range(8):
+            stats = state[f"stats/{ch}"]
+            assert stats["totals"]["I"] == pytest.approx(truth_total,
+                                                         rel=0.25)
+            assert stats["noise"] > 0
