@@ -157,8 +157,12 @@ class TestCubePipelineCLI:
         from katsdpimager_tpu import pipeline
 
         sim_path = str(tmp_path / "cube8.h5")
+        # Narrow band: the image FOV shrinks with wavelength, and all test
+        # sources must stay inside it at every channel.
+        freqs = 856e6 + 214e6 * (np.arange(8) + 0.5) / 8
         simulate.make_sim_dataset(sim_path, num_antennas=16, num_times=16,
-                                  num_channels=8, max_radius=800.0)
+                                  num_channels=8, max_radius=800.0,
+                                  frequencies=freqs)
         outdir = str(tmp_path / "out")
         rc = pipeline.main([
             sim_path, outdir, "--cube", "--pixels", "256",
