@@ -28,6 +28,7 @@ from .ops import beam as beam_ops
 from .ops import clean as clean_ops
 from .ops import predict as predict_ops
 from .ops import weights as weight_ops
+from .profiling import profile, profile_function
 
 logger = logging.getLogger(__name__)
 
@@ -35,6 +36,7 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 # Preprocessing
 
+@profile_function()
 def preprocess_visibilities(dataset, args, start_channel, stop_channel,
                             image_ps, grid_ps, polarization_matrices):
     """Stream the dataset through the collector, overlapping load with
@@ -86,6 +88,7 @@ def preprocess_visibilities(dataset, args, start_channel, stop_channel,
 # ---------------------------------------------------------------------------
 # Per-channel helpers
 
+@profile_function()
 def make_weights(reader, rel_channel, imager, weight_type, vis_block,
                  weight_scale):
     imager.clear_weights()
@@ -102,6 +105,7 @@ def make_weights(reader, rel_channel, imager, weight_type, vis_block,
     return noise, normalized_noise
 
 
+@profile_function()
 def make_dirty(reader, rel_channel, name, field, imager, vis_block,
                degrid, full_cycle=False, subtract_model=False):
     """Grid a full pass of the visibilities (optionally with model
@@ -124,8 +128,10 @@ def make_dirty(reader, rel_channel, name, field, imager, vis_block,
                 vis = imager.degrid_slice(chunk, vis, model_grid, w_slice)
             else:
                 vis = imager.model_predict(chunk, vis, w_slice)
-        imager.grid_slice(chunk, vis, w_slice)
-        imager.grid_to_image(w_slice)
+        with profile(f"grid_slice_{w_slice}"):
+            imager.grid_slice(chunk, vis, w_slice)
+        with profile(f"grid_to_image_{w_slice}"):
+            imager.grid_to_image(w_slice)
 
 
 def find_peak(image, pbeam, noise):
@@ -324,6 +330,7 @@ class Writer:
 # ---------------------------------------------------------------------------
 # Per-channel processing
 
+@profile_function()
 def process_channel(dataset, args, start_channel, reader, writer,
                     channel_p, array_p, weight_p, clean_p,
                     subtract_model) -> Optional[dict]:

@@ -205,33 +205,66 @@ int64_t ktpu_preprocess_channel(
     std::sort(kept.begin(), kept.end());
 #endif
 
-    // Merge runs with identical keys.
+    // Merge runs with identical keys: partition the sorted array at key
+    // boundaries and merge each partition in parallel, then compact.
     std::memset(out_slice_counts, 0, sizeof(int64_t) * cfg->w_slices);
-    int64_t out_n = 0;
     auto *out_vis_c = reinterpret_cast<std::complex<float> *>(out_vis);
-    for (size_t i = 0; i < kept.size();) {
-        Record acc = records[kept[i].second];
-        size_t j = i + 1;
-        while (j < kept.size() && kept[j].first == acc.key) {
-            const Record &other = records[kept[j].second];
-            for (int32_t p = 0; p < num_p; p++) {
-                acc.vis[p] += other.vis[p];
-                acc.weights[p] += other.weights[p];
+    const size_t total = kept.size();
+#ifdef _OPENMP
+    const int nthreads = omp_get_max_threads();
+#else
+    const int nthreads = 1;
+#endif
+    std::vector<size_t> part(nthreads + 1, total);
+    part[0] = 0;
+    for (int t = 1; t < nthreads; t++) {
+        size_t pos = total * t / nthreads;
+        // advance to the start of the next key run
+        while (pos < total && pos > 0 && kept[pos].first == kept[pos - 1].first)
+            pos++;
+        part[t] = pos;
+    }
+    // Each partition merges into its own span of the output (upper bound:
+    // partition length), then spans are compacted.
+    std::vector<int64_t> part_out(nthreads, 0);
+    std::vector<std::vector<Record>> part_records(nthreads);
+
+#pragma omp parallel for schedule(static, 1)
+    for (int t = 0; t < nthreads; t++) {
+        std::vector<Record> &local = part_records[t];
+        local.reserve(part[t + 1] - part[t]);
+        for (size_t i = part[t]; i < part[t + 1];) {
+            Record acc = records[kept[i].second];
+            size_t j = i + 1;
+            while (j < part[t + 1] && kept[j].first == acc.key) {
+                const Record &other = records[kept[j].second];
+                for (int32_t p = 0; p < num_p; p++) {
+                    acc.vis[p] += other.vis[p];
+                    acc.weights[p] += other.weights[p];
+                }
+                j++;
             }
-            j++;
+            local.push_back(acc);
+            i = j;
         }
-        out_uv[out_n * 2 + 0] = acc.uv[0];
-        out_uv[out_n * 2 + 1] = acc.uv[1];
-        out_sub_uv[out_n * 2 + 0] = acc.sub_uv[0];
-        out_sub_uv[out_n * 2 + 1] = acc.sub_uv[1];
-        out_w_plane[out_n] = acc.w_plane;
-        for (int32_t p = 0; p < num_p; p++) {
-            out_weights[out_n * num_p + p] = acc.weights[p];
-            out_vis_c[out_n * num_p + p] = acc.vis[p];
+        part_out[t] = int64_t(local.size());
+    }
+
+    int64_t out_n = 0;
+    for (int t = 0; t < nthreads; t++) {
+        for (const Record &acc : part_records[t]) {
+            out_uv[out_n * 2 + 0] = acc.uv[0];
+            out_uv[out_n * 2 + 1] = acc.uv[1];
+            out_sub_uv[out_n * 2 + 0] = acc.sub_uv[0];
+            out_sub_uv[out_n * 2 + 1] = acc.sub_uv[1];
+            out_w_plane[out_n] = acc.w_plane;
+            for (int32_t p = 0; p < num_p; p++) {
+                out_weights[out_n * num_p + p] = acc.weights[p];
+                out_vis_c[out_n * num_p + p] = acc.vis[p];
+            }
+            out_slice_counts[acc.w_slice]++;
+            out_n++;
         }
-        out_slice_counts[acc.w_slice]++;
-        out_n++;
-        i = j;
     }
     return out_n;
 }
