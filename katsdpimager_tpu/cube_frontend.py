@@ -13,9 +13,10 @@ Deviations from the per-channel path, by design:
 - the CLEAN PSF patch is a fixed configured size (``--cube-psf-patch``)
   instead of per-channel auto-sizing (static shapes across the wave);
 - model prediction uses degridding (fully on device); direct prediction
-  remains available in the per-channel path;
-- weighting is natural or uniform (robust needs the extra mean-weight pass;
-  use the per-channel path).
+  remains available in the per-channel path.
+
+Natural, uniform and robust weighting are all supported (the robust
+mean-weight pass runs on device).
 """
 
 from __future__ import annotations
@@ -138,6 +139,10 @@ def run_cube(args, dataset, writer) -> None:
     channels = list(range(args.start_channel, args.stop_channel))
     for wave_start in range(0, len(channels), wave_size):
         wave_channels = channels[wave_start:wave_start + wave_size]
+        if all(writer.channel_already_done(dataset, ch)
+               for ch in wave_channels):
+            logger.info("Skipping wave %s: already done", wave_channels)
+            continue
         # Pad the last wave by repeating the final channel.
         padded = wave_channels + [wave_channels[-1]] * (
             wave_size - len(wave_channels))
@@ -172,7 +177,8 @@ def run_cube(args, dataset, writer) -> None:
                 border_pixels=round(args.border * image_ps[0].pixels),
                 loop_gain=args.loop_gain, major_gain=args.major_gain,
                 threshold_sigma=args.threshold, clean_mode=clean_mode,
-                uniform_weights=(args.weight_type == "uniform"),
+                weight_type=args.weight_type,
+                robustness=args.robustness,
             )
             template = _plan_layout(reader, len(image_ps), template)
             # headroom for later waves

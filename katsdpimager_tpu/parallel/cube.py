@@ -61,7 +61,9 @@ class CubeConfig:
     major_gain: float = 0.85
     threshold_sigma: float = 5.0
     clean_mode: int = clean_ops.CLEAN_I
-    uniform_weights: bool = False
+    #: "natural", "uniform" or "robust"
+    weight_type: str = "natural"
+    robustness: float = 0.0
 
     @property
     def clean_cfg(self) -> clean_ops.CleanConfig:
@@ -166,16 +168,25 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
                                                           axis_name=vis_axis)
     half = N // 2
 
-    # ---- imaging weights
-    if cfg.uniform_weights:
+    # ---- imaging weights (natural / uniform / robust; Briggs formulas,
+    # fully on device including the robust mean-weight pass)
+    if cfg.weight_type in ("uniform", "robust"):
         flat_uv = uv.reshape(-1, 2)
         flat_w = (weights * valid[..., None]).reshape(-1, Pp)
         wgrid = jnp.zeros((Pp, N, N), jnp.float32)
         wgrid = wgrid.at[:, flat_uv[:, 1] + half, flat_uv[:, 0] + half].add(
             flat_w.T, mode="drop")
         wgrid = psum(wgrid)
-        density = jnp.where(wgrid > 0,
-                            1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
+        if cfg.weight_type == "robust":
+            w0 = wgrid[0]
+            mean_w = jnp.sum(w0 * w0) / jnp.sum(w0)
+            s2 = (5.0 * 10.0 ** (-cfg.robustness)) ** 2 / mean_w
+            density = jnp.where(
+                wgrid > 0,
+                1.0 / (jnp.where(wgrid > 0, wgrid, 1.0) * s2 + 1.0), 0.0)
+        else:
+            density = jnp.where(wgrid > 0,
+                                1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
     else:
         density = jnp.ones((Pp, N, N), jnp.float32)
 
