@@ -22,18 +22,15 @@ mean-weight pass runs on device).
 from __future__ import annotations
 
 import logging
-import math
 from typing import List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import frontend, parameters, polarization, preprocess
-from .ops import beam as beam_ops
+from . import frontend, parameters, polarization
 from .ops import clean as clean_ops
 from .ops import mxu_gridder, wkernel
-from .ops import weights as weight_ops
 from .parallel import cube, make_mesh
 from .parallel.multichannel import ChannelBatch, chunk_channel
 

@@ -37,7 +37,6 @@ different evaluation order; f32 sums reassociate).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 

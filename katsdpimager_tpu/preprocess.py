@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -70,16 +70,6 @@ class ChannelGeometry:
             max_w=grid_p.fixed.max_w,
             kernel_width=grid_p.fixed.kernel_width,
         )
-
-
-#: Struct-of-arrays record batch for compressed visibilities.
-#: ``uv`` is centred (0 = grid centre); ``w_slice`` identifies the W-stacking
-#: slice; entries beyond ``count`` (or with weight 0) are padding.
-VisBatch = dataclasses.make_dataclass(
-    "VisBatch",
-    [("uv", object), ("sub_uv", object), ("w_plane", object), ("w_slice", object),
-     ("weights", object), ("vis", object)],
-)
 
 
 def apply_mueller_weights(vis, weights, mueller):
