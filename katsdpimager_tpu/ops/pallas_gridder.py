@@ -116,6 +116,110 @@ def band_accumulate(gre, gim, vr, vi, ur, ui, anchors, *,
     )(anchors, vr, vi, ur, ui, gre, gim)
 
 
+def _degrid_kernel(anchors_ref, vtr_ref, vti_ref, utr_ref, uti_ref,
+                   gre_ref, gim_ref, pre_ref, pim_ref,
+                   win_re, win_im, sem_re, sem_im):
+    """One grid step of degridding: window gather -> T = Vt @ win (MXU) ->
+    per-vis tap contraction (VPU)."""
+    c = pl.program_id(0)
+    av = anchors_ref[c, 0]
+    au = anchors_ref[c, 1]
+    h, w = win_re.shape
+    read_re = pltpu.make_async_copy(
+        gre_ref.at[pl.ds(av, h), pl.ds(au, w)], win_re, sem_re)
+    read_im = pltpu.make_async_copy(
+        gim_ref.at[pl.ds(av, h), pl.ds(au, w)], win_im, sem_im)
+    read_re.start()
+    read_im.start()
+    read_re.wait()
+    read_im.wait()
+
+    vtr = vtr_ref[0]
+    vti = vti_ref[0]
+    wr = win_re[:]
+    wi = win_im[:]
+    t_re = (jnp.dot(vtr, wr, preferred_element_type=jnp.float32)
+            - jnp.dot(vti, wi, preferred_element_type=jnp.float32))
+    t_im = (jnp.dot(vtr, wi, preferred_element_type=jnp.float32)
+            + jnp.dot(vti, wr, preferred_element_type=jnp.float32))
+    utr = utr_ref[0]
+    uti = uti_ref[0]
+    pre_ref[0] = jnp.sum(t_re * utr - t_im * uti, axis=-1)
+    pim_ref[0] = jnp.sum(t_re * uti + t_im * utr, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def degrid_predict(gre, gim, vtr, vti, utr, uti, anchors, *,
+                   interpret: bool = False):
+    """Predict per-chunk visibilities from the padded grid planes.
+
+    gre/gim: (Npv, Npu) float32; vtr/vti: (NC, Mc, RvK) (UNconjugated
+    kernel factors); utr/uti: (NC, Mc, RuK).  Returns (pred_re, pred_im)
+    of shape (NC, Mc).
+    """
+    nc, mc, rvk = vtr.shape
+    ruk = utr.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, mc, rvk), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec((1, mc, rvk), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mc), lambda c, a: (c, 0)),
+            pl.BlockSpec((1, mc), lambda c, a: (c, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rvk, ruk), jnp.float32),
+            pltpu.VMEM((rvk, ruk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _degrid_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, mc), jnp.float32),
+            jax.ShapeDtypeStruct((nc, mc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(anchors, vtr, vti, utr, uti, gre, gim)
+
+
+def degrid_chunks_pallas(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
+                         plan_vis, plan_anchor, plan_valid, *, pixels: int,
+                         rv: int, ru: int, interpret: bool | None = None):
+    """Drop-in single-pol replacement for ``mxu_gridder.degrid_chunks``.
+
+    ``grid`` is the PADDED (1, pixels+rv, pixels+ru) complex model grid;
+    returns updated (NC, Mc, 1) visibilities.
+    """
+    from .mxu_gridder import _chunk_factors
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    assert plan_vis.shape[-1] == 1, "Pallas path currently supports 1 pol"
+
+    def factors(uv_c, sub_c, wp_c, anc_c, val_c):
+        Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c, val_c,
+                                  pixels=pixels, rv=rv, ru=ru)
+        return Vt.real, Vt.imag, Utap.real, Utap.imag
+
+    vtr, vti, utr, uti = jax.vmap(factors)(
+        plan_uv, plan_sub, plan_wp, plan_anchor, plan_valid)
+    pre, pim = degrid_predict(
+        grid[0].real.astype(jnp.float32), grid[0].imag.astype(jnp.float32),
+        vtr, vti, utr, uti, plan_anchor, interpret=interpret)
+    predicted = (pre + 1j * pim)[..., None].astype(plan_vis.dtype)
+    return plan_vis - plan_wt * predicted
+
+
 def _assemble_factors(kernel, weights_grid, uv, sub_uv, w_plane, vis,
                       anchor, valid, *, pixels: int, rv: int, ru: int):
     """XLA gather-only factor assembly for a block of chunks (vmapped

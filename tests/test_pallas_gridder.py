@@ -68,3 +68,33 @@ def test_matches_scatter_oracle():
         pixels=pixels, rv=rv, ru=ru, interpret=True)
     out = np.asarray(out)[:, :pixels, :pixels]
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_degrid_matches_xla_path():
+    rng = np.random.default_rng(91)
+    kernel, uv, sub, wp, vis, wg = make_case(rng, n=250)
+    pixels, K = wg.shape[-1], kernel.shape[-1]
+    rv = ru = 32
+    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=K, num_pols=1,
+                               rv=rv, ru=ru, mc=64)
+    weights = rng.uniform(0.2, 2.0, size=vis.shape).astype(np.float32)
+    plan = g.plan(uv, sub, wp, vis, weights)
+    model_grid = (rng.normal(size=(1, pixels, pixels))
+                  + 1j * rng.normal(size=(1, pixels, pixels))
+                  ).astype(np.complex64)
+    gpad = jnp.pad(jnp.asarray(model_grid), ((0, 0), (0, rv), (0, ru)))
+
+    expected = np.asarray(mxu_gridder.degrid_chunks(
+        gpad, jnp.asarray(kernel),
+        jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+        jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),
+        jnp.asarray(plan.vis), jnp.asarray(plan.anchor),
+        jnp.asarray(plan.valid), pixels=pixels, rv=rv, ru=ru))
+    out = np.asarray(pallas_gridder.degrid_chunks_pallas(
+        gpad, jnp.asarray(kernel),
+        jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+        jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),
+        jnp.asarray(plan.vis), jnp.asarray(plan.anchor),
+        jnp.asarray(plan.valid), pixels=pixels, rv=rv, ru=ru,
+        interpret=True))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
