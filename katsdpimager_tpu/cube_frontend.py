@@ -192,9 +192,14 @@ def run_cube(args, dataset, writer) -> None:
         final = np.asarray(restore_fn(result.model, result.residual,
                                       jnp.asarray(ms)))
         noise = np.asarray(result.noise)
+        psf_peaks = np.asarray(result.psf_peak)
         for i, ch in enumerate(wave_channels):
             rel = ch - start
             image_p = image_ps[rel]
+            if np.any(psf_peaks[i] == 0):
+                logger.info("Skipping channel %d which has no usable data", ch)
+                writer.skip_channel(dataset, image_p, ch)
+                continue
             writer.write_fits_image("clean", "clean image", dataset,
                                     final[i], image_p, ch, beams[i])
             pbeam = np.ones(final[i].shape[-2:], final.dtype)

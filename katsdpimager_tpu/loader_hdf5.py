@@ -71,6 +71,12 @@ class LoaderHDF5(loader_core.LoaderBase):
         ws = self._attrs.get("weight_scale")
         return None if ws is None else float(ws)
 
+    def channel_enabled(self, channel: int) -> bool:
+        mask = self._attrs.get("channel_mask")
+        if mask is None:
+            return True
+        return bool(np.asarray(mask)[channel])
+
     def data_iter(self, start_channel: int, stop_channel: int,
                   max_chunk_vis: Optional[int] = None) -> Iterator[dict]:
         total = self._uvw.shape[0]
