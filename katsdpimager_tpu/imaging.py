@@ -167,34 +167,44 @@ class Imaging:
             self._plans[key] = plan
         return plan
 
-    def grid_slice(self, chunk, vis: np.ndarray, w_slice: int):
+    def grid_slice(self, chunk, vis, w_slice: int):
         """Grid a whole (channel, w_slice) visibility set via the MXU
-        dense-matmul gridder."""
+        dense-matmul gridder.  ``vis`` may be numpy or device-resident."""
         plan = self._slice_plan(chunk, w_slice)
         if plan.uv.shape[0] == 0:
             return
-        vis_chunked = self._mxu.chunk_vis(
-            plan, np.asarray(vis).astype(np.complex64))
+        if not isinstance(vis, jnp.ndarray):
+            vis = jnp.asarray(np.asarray(vis).astype(np.complex64))
+        else:
+            vis = vis.astype(jnp.complex64)
+        vis_chunked = self._mxu.chunk_vis(plan, vis)
         self.grid = self._mxu.grid(self.grid, self.kernel,
                                    self.weights.grid, plan,
-                                   vis_chunked=jnp.asarray(vis_chunked))
+                                   vis_chunked=vis_chunked)
 
     def degrid_slice(self, chunk, vis, model_grid, w_slice: int):
-        """Subtract degridded model visibilities for a whole slice."""
+        """Subtract degridded model visibilities for a whole slice; the
+        result stays on device."""
         plan = self._slice_plan(chunk, w_slice)
-        vis_chunked = self._mxu.chunk_vis(
-            plan, np.asarray(vis).astype(np.complex64))
+        if not isinstance(vis, jnp.ndarray):
+            vis = jnp.asarray(np.asarray(vis).astype(np.complex64))
+        vis_chunked = self._mxu.chunk_vis(plan, vis)
         out_chunked = self._mxu.degrid(model_grid, self.kernel, plan,
-                                       jnp.asarray(vis_chunked))
-        return self._mxu.unchunk_vis(plan, np.asarray(out_chunked), len(vis))
+                                       vis_chunked)
+        return self._mxu.unchunk_vis(plan, out_chunked, len(vis))
 
     def predict_chunk(self, chunk, vis, w_slice: int, lmn, flux):
-        """Subtract a direct DFT prediction from ``vis`` (returns new array)."""
+        """Subtract a direct DFT prediction from ``vis``; the result stays
+        on device."""
         if lmn is None or lmn.shape[0] == 0:
             return vis
         uv, sub_uv, w_plane = self._padded_chunk(chunk)
         n = uv.shape[0]
-        vis_j = jnp.asarray(_pad_to(np.asarray(vis).astype(np.complex64), n))
+        if isinstance(vis, jnp.ndarray):
+            vis_j = jnp.pad(vis.astype(jnp.complex64),
+                            ((0, n - vis.shape[0]), (0, 0)))
+        else:
+            vis_j = jnp.asarray(_pad_to(np.asarray(vis).astype(np.complex64), n))
         weights_j = jnp.asarray(
             _pad_to(np.asarray(chunk.weights).astype(np.float32), n))
         out = predict.predict_subtract(
@@ -202,7 +212,7 @@ class Imaging:
             jnp.float32(self._uv_scale), jnp.float32(self._w_scale),
             jnp.float32(self._w_bias + self.mid_w[w_slice]),
             oversample=self.grid_p.fixed.oversample)
-        return np.asarray(out[: len(vis)])
+        return out[: len(vis)]
 
     def degrid_chunk(self, chunk, vis, model_grid):
         """Subtract degridded model visibilities from ``vis``."""

@@ -353,14 +353,27 @@ class MxuGridder:
             vis_chunked, jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
             pixels=self.pixels, rv=self.rv, ru=self.ru)
 
-    def chunk_vis(self, plan: ChunkPlan, vis) -> np.ndarray:
-        """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout."""
+    def chunk_vis(self, plan: ChunkPlan, vis):
+        """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout.
+
+        Device arrays stay on device (jnp scatter); numpy stays on host.
+        """
+        if isinstance(vis, jnp.ndarray):
+            out = jnp.zeros(plan.vis.shape, jnp.complex64)
+            return out.at[jnp.asarray(plan.chunk_of),
+                          jnp.asarray(plan.slot_of)].set(
+                vis[jnp.asarray(plan.order)])
         out = np.zeros(plan.vis.shape, np.complex64)
         out[plan.chunk_of, plan.slot_of] = np.asarray(vis)[plan.order]
         return out
 
-    def unchunk_vis(self, plan: ChunkPlan, vis_chunked, n: int) -> np.ndarray:
-        """Inverse of :meth:`chunk_vis`."""
+    def unchunk_vis(self, plan: ChunkPlan, vis_chunked, n: int):
+        """Inverse of :meth:`chunk_vis` (device in, device out)."""
+        if isinstance(vis_chunked, jnp.ndarray):
+            gathered = vis_chunked[jnp.asarray(plan.chunk_of),
+                                   jnp.asarray(plan.slot_of)]
+            out = jnp.zeros((n, vis_chunked.shape[-1]), jnp.complex64)
+            return out.at[jnp.asarray(plan.order)].set(gathered)
         out = np.zeros((n, vis_chunked.shape[-1]), np.complex64)
         out[plan.order] = np.asarray(vis_chunked)[plan.chunk_of, plan.slot_of]
         return out
