@@ -325,6 +325,17 @@ class MxuGridder:
                            kernel_width=self.K, rv=self.rv, ru=self.ru,
                            mc=self.mc)
 
+    @staticmethod
+    def _use_pallas(num_pols: int) -> bool:
+        """Opt-in Pallas kernels (KTPU_USE_PALLAS=1, TPU, single pol)."""
+        import os
+
+        import jax
+
+        return (os.environ.get("KTPU_USE_PALLAS") == "1"
+                and num_pols == 1
+                and jax.devices()[0].platform == "tpu")
+
     def grid(self, grid, kernel, weights_grid, plan: ChunkPlan,
              vis_chunked=None):
         """Accumulate the planned chunks; ``grid`` is (P, N, N) jnp.
@@ -333,25 +344,37 @@ class MxuGridder:
             return grid
         pad_v, pad_u = self.rv, self.ru
         gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
-        gpad = grid_chunks(
-            gpad, kernel, weights_grid,
-            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
-            jnp.asarray(plan.w_plane),
-            jnp.asarray(plan.vis) if vis_chunked is None else vis_chunked,
-            jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
-            pixels=self.pixels, rv=self.rv, ru=self.ru)
+        args = (gpad, kernel, weights_grid,
+                jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+                jnp.asarray(plan.w_plane),
+                jnp.asarray(plan.vis) if vis_chunked is None else vis_chunked,
+                jnp.asarray(plan.anchor), jnp.asarray(plan.valid))
+        if self._use_pallas(grid.shape[0]):
+            from .pallas_gridder import grid_chunks_pallas
+
+            gpad = grid_chunks_pallas(*args, pixels=self.pixels,
+                                      rv=self.rv, ru=self.ru)
+        else:
+            gpad = grid_chunks(*args, pixels=self.pixels, rv=self.rv,
+                               ru=self.ru)
         return gpad[:, :self.pixels, :self.pixels]
 
     def degrid(self, grid, kernel, plan: ChunkPlan, vis_chunked):
         """Subtract degridded model from chunked vis; returns (C, Mc, P)."""
         pad_v, pad_u = self.rv, self.ru
         gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
-        return degrid_chunks(
-            gpad, kernel,
-            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
-            jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),
-            vis_chunked, jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
-            pixels=self.pixels, rv=self.rv, ru=self.ru)
+        args = (gpad, kernel,
+                jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+                jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),
+                vis_chunked, jnp.asarray(plan.anchor),
+                jnp.asarray(plan.valid))
+        if self._use_pallas(vis_chunked.shape[-1]):
+            from .pallas_gridder import degrid_chunks_pallas
+
+            return degrid_chunks_pallas(*args, pixels=self.pixels,
+                                        rv=self.rv, ru=self.ru)
+        return degrid_chunks(*args, pixels=self.pixels, rv=self.rv,
+                             ru=self.ru)
 
     def chunk_vis(self, plan: ChunkPlan, vis):
         """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout.
