@@ -119,11 +119,16 @@ def main(argv=None) -> int:
     if args.precision == "double":
         jax.config.update("jax_enable_x64", True)
 
-    dataset = loader.load(args.input_file, args.input_option,
-                          args.start_channel, args.stop_channel)
+    try:
+        dataset = loader.load(args.input_file, args.input_option,
+                              args.start_channel, args.stop_channel)
+    except (FileNotFoundError, OSError) as exc:
+        parser.error(f"cannot open {args.input_file}: {exc}")
     try:
         writer = FileWriter(args)
         frontend.run(args, dataset, writer)
+    except ValueError as exc:
+        parser.error(str(exc))
     finally:
         dataset.close()
         if args.write_profile:
