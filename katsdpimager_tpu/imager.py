@@ -118,6 +118,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     if args.precision == "double":
         jax.config.update("jax_enable_x64", True)
+        if not args.host and jax.devices()[0].platform == "tpu":
+            logger.warning("double precision on TPU is emulated and slow; "
+                           "consider --host for the f64 oracle path")
 
     try:
         dataset = loader.load(args.input_file, args.input_option,

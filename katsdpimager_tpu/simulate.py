@@ -167,7 +167,7 @@ def make_sim_dataset(filename: str, num_antennas: int = 16,
                      num_times: int = 16, num_channels: int = 1,
                      max_radius: float = 500.0,
                      frequencies=None, sources=None, noise_jy: float = 0.0,
-                     seed: int = 1):
+                     seed: int = 1, band: str = "L"):
     """Create a small simulated dataset (BASELINE config 1 by default:
     16 antennas, 1 channel, CPU-runnable)."""
     ants = random_array(num_antennas, max_radius, seed=seed)
@@ -183,5 +183,6 @@ def make_sim_dataset(filename: str, num_antennas: int = 16,
     # Bounds both the UV extent (pixel sizing) and the default max_w.
     bl = np.linalg.norm(uvw, axis=1).max() * 1.01
     write_dataset(filename, uvw, vis, frequencies, DEFAULT_PHASE_CENTRE,
-                  antenna_diameter=13.5, longest_baseline=float(bl))
+                  antenna_diameter=13.5, longest_baseline=float(bl),
+                  band=band)
     return filename

@@ -47,14 +47,21 @@ def _parse_dec(text: str) -> float:
 
 
 class SkyModel:
-    """Point-source sky model with flat spectra.
+    """Point-source sky model with power-law spectra.
 
-    positions: (S, 2) radians (ra, dec); flux: (S, 4) IQUV Jy.
+    positions: (S, 2) radians (ra, dec); flux: (S, 4) IQUV Jy at the
+    reference frequency; spectral_index: (S,) (0 = flat);
+    ref_freq: reference frequency in Hz.
     """
 
-    def __init__(self, positions: np.ndarray, flux_iquv: np.ndarray):
+    def __init__(self, positions: np.ndarray, flux_iquv: np.ndarray,
+                 spectral_index=None, ref_freq: float = 1.4e9):
         self.positions = np.asarray(positions, np.float64)
         self.flux_iquv = np.asarray(flux_iquv, np.float64)
+        self.spectral_index = (np.zeros(len(self.positions))
+                               if spectral_index is None
+                               else np.asarray(spectral_index, np.float64))
+        self.ref_freq = ref_freq
 
     def __len__(self):
         return len(self.positions)
@@ -71,13 +78,21 @@ class SkyModel:
         return np.stack([l, m, n1], axis=-1)
 
     def flux_density(self, wavelength: float) -> np.ndarray:
-        """(S, 4) IQUV flux densities at the given wavelength (flat)."""
-        return self.flux_iquv.copy()
+        """(S, 4) IQUV flux densities at the given wavelength
+        (power law: S(f) = S0 (f/f0)^alpha)."""
+        from .units import C_M_PER_S
+
+        freq = C_M_PER_S / wavelength
+        scale = (freq / self.ref_freq) ** self.spectral_index
+        return self.flux_iquv * scale[:, None]
 
 
 def parse_text_model(text: str) -> SkyModel:
+    """Parse ``ra dec I [Q U V [alpha [ref_freq_MHz]]]`` lines."""
     positions: List[Tuple[float, float]] = []
     fluxes: List[Tuple[float, float, float, float]] = []
+    alphas: List[float] = []
+    ref_freq = 1.4e9
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
@@ -88,9 +103,14 @@ def parse_text_model(text: str) -> SkyModel:
         vals = [float(v) for v in fields[2:6]]
         while len(vals) < 4:
             vals.append(0.0)
+        alpha = float(fields[6]) if len(fields) > 6 else 0.0
+        if len(fields) > 7:
+            ref_freq = float(fields[7]) * 1e6
         positions.append((ra, dec))
         fluxes.append(tuple(vals))
-    return SkyModel(np.array(positions), np.array(fluxes))
+        alphas.append(alpha)
+    return SkyModel(np.array(positions), np.array(fluxes),
+                    np.array(alphas), ref_freq)
 
 
 def open_sky_model(url: str) -> SkyModel:

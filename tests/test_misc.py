@@ -186,3 +186,13 @@ class TestSimulatorPhysics:
         for i in range(2):
             assert np.hypot(np.hypot(u[i], v[i]), w[i]) == pytest.approx(
                 np.linalg.norm(bl))
+
+
+class TestSpectralModel:
+    def test_power_law(self):
+        model = sky_model.parse_text_model(
+            "45.0 -30.0 2.0 0 0 0 -0.7 1400\n")
+        f0 = model.flux_density(299792458.0 / 1.4e9)
+        np.testing.assert_allclose(f0[0, 0], 2.0)
+        f2 = model.flux_density(299792458.0 / 2.8e9)
+        np.testing.assert_allclose(f2[0, 0], 2.0 * 2 ** -0.7, rtol=1e-12)
