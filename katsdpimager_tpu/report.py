@@ -76,8 +76,11 @@ def load_stats(state_path: str) -> Dict[int, dict]:
 
 
 def write_report(state_path: str, output_path: str,
-                 title: str = "Imaging QA report") -> None:
-    """Render the report from a pipeline ``state.json``."""
+                 title: str = "Imaging QA report",
+                 images_dir: Optional[str] = None) -> None:
+    """Render the report from a pipeline ``state.json``; when
+    ``images_dir`` is given, channel thumbnails (``*_clean.png``) are
+    embedded as a gallery (the reference's images-report analogue)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -122,6 +125,24 @@ def write_report(state_path: str, output_path: str,
         ax.set_title("CLEAN effort")
         plots.append(_fig_to_b64(fig))
 
+    gallery = ""
+    if images_dir and os.path.isdir(images_dir):
+        import glob
+
+        tiles = []
+        for png in sorted(glob.glob(os.path.join(images_dir,
+                                                 "*_clean.png"))):
+            with open(png, "rb") as f:
+                b64 = base64.b64encode(f.read()).decode("ascii")
+            name = html.escape(os.path.basename(png))
+            tiles.append(
+                f'<figure style="display:inline-block;margin:4px">'
+                f'<img src="data:image/png;base64,{b64}" width="192">'
+                f'<figcaption style="font-size:small">{name}</figcaption>'
+                f"</figure>")
+        if tiles:
+            gallery = "<h2>Channel images</h2>" + "".join(tiles)
+
     rows = []
     for c in channels:
         s = stats[c]
@@ -146,6 +167,7 @@ td, th {{ border: 1px solid #999; padding: 0.3em 0.7em; }}
 <h1>{html.escape(title)}</h1>
 <p>{len(channels)} channels imaged.</p>
 {''.join(f'<p><img src="data:image/png;base64,{p}"></p>' for p in plots)}
+{gallery}
 <h2>Per-channel statistics</h2>
 <table>
 <tr><th>Channel</th><th>Freq [MHz]</th><th>Noise [Jy/beam]</th>
@@ -166,8 +188,13 @@ def main(argv=None) -> int:
     parser.add_argument("state_json", help="Pipeline state.json")
     parser.add_argument("output_html")
     parser.add_argument("--title", default="Imaging QA report")
+    parser.add_argument("--images-dir",
+                        help="Directory of *_clean.png thumbnails to embed")
     args = parser.parse_args(argv)
-    write_report(args.state_json, args.output_html, args.title)
+    images_dir = args.images_dir
+    if images_dir is None:
+        images_dir = os.path.dirname(os.path.abspath(args.state_json))
+    write_report(args.state_json, args.output_html, args.title, images_dir)
     return 0
 
 
