@@ -11,15 +11,29 @@ kernel_width^2 * n_pols / t (tests/imager_bench.py:166-208).
 ``vs_baseline`` is measured GGAPS relative to 1.0 GGAPS, a representative
 figure for the reference's CUDA gridder on a datacentre GPU of its era.
 
+Backend notes: the experimental axon TPU tunnel neither transfers complex64
+arrays nor reliably honours ``block_until_ready``, so complex inputs cross
+the boundary as (..., 2) float32 pairs combined in-jit with
+``lax.complex``, and timing is synchronised by fetching an f32 scalar
+checksum of the result.
+
 Workload: 4k-pixel single-pol image, kernel width 60, oversample 8, 32 W
-planes, 2 W slices, ~0.5 Mvis/slice clustered UV (BASELINE config 2 scale).
-Falls back to a smaller CPU-sized workload when no accelerator is attached.
+planes, 2 W slices, clustered UV (BASELINE config 2 scale).  Falls back to
+a smaller CPU-sized workload when no accelerator is attached.
 """
 
 import json
 import time
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pair(x: np.ndarray):
+    return jnp.asarray(np.stack([x.real, x.imag], axis=-1).astype(np.float32))
 
 
 def main():
@@ -39,22 +53,34 @@ def main():
             w_planes=8, w_slices=2, chunks_per_slice=256, chunk_size=128,
             rv=32, ru=32, minor_cycles=0)
     batch = make_example_batch(cfg, 1)
-    num_vis = int(jax.device_get(batch.valid.sum()))
-    args = (batch.kernel[0], batch.taper1d[0], batch.pixel_size[0],
-            batch.mid_w[0], batch.uv[0], batch.sub_uv[0],
-            batch.w_plane[0], batch.anchor[0], batch.valid[0],
-            batch.weights[0], batch.vis[0])
-    fn = jax.jit(single_channel_step(cfg))
+    num_vis = int(np.asarray(batch.valid).sum())
+    base = single_channel_step(cfg)
+
+    kern_p = _pair(np.asarray(batch.kernel[0]))
+    vis_p = _pair(np.asarray(batch.vis[0]))
+    rest = [jnp.asarray(np.asarray(x[0])) for x in
+            (batch.taper1d, batch.pixel_size, batch.mid_w, batch.uv,
+             batch.sub_uv, batch.w_plane, batch.anchor, batch.valid,
+             batch.weights)]
+
+    @jax.jit
+    def step(kp, vp):
+        kernel = lax.complex(kp[..., 0], kp[..., 1])
+        vis = lax.complex(vp[..., 0], vp[..., 1])
+        residual, _model = base(kernel, rest[0], rest[1], rest[2], rest[3],
+                                rest[4], rest[5], rest[6], rest[7], rest[8],
+                                vis)
+        # f32 checksum: fetching it is the only reliable device sync here.
+        return jnp.sum(jnp.abs(residual[:, ::64, ::64]))
 
     # Warmup / compile
-    out = fn(*args)
-    jax.block_until_ready(out)
+    float(step(kern_p, vis_p))
 
     iters = 3
     start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    vals = [step(kern_p, vis_p) for _ in range(iters)]
+    for v in vals:
+        float(v)
     elapsed = (time.perf_counter() - start) / iters
 
     mvis_per_s = num_vis / elapsed / 1e6
