@@ -95,13 +95,15 @@ def build_wave_batch(cfg: cube.CubeConfig, reader, image_ps, grid_ps,
             (uv[i, s], sub[i, s], wp[i, s], anc[i, s], val[i, s],
              wts[i, s], vis[i, s]) = chunk_channel(
                 cfg, chk.uv, chk.sub_uv, chk.w_plane, chk.vis, chk.weights)
+    from . import xfer
+
     return ChannelBatch(
-        kernel=jnp.asarray(kernels), taper1d=jnp.asarray(tapers),
+        kernel=xfer.device_complex(kernels), taper1d=jnp.asarray(tapers),
         pixel_size=jnp.asarray(psizes), mid_w=jnp.asarray(midws),
         uv=jnp.asarray(uv), sub_uv=jnp.asarray(sub),
         w_plane=jnp.asarray(wp), anchor=jnp.asarray(anc),
         valid=jnp.asarray(val), weights=jnp.asarray(wts),
-        vis=jnp.asarray(vis))
+        vis=xfer.device_complex(vis))
 
 
 def run_cube(args, dataset, writer) -> None:

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import parameters
+from . import parameters, xfer
 from .ops import beam as beam_ops
 from .ops import clean as clean_ops
 from .ops import fourier, gridder, mxu_gridder, predict, wkernel
@@ -72,7 +72,8 @@ class Imaging:
         self._cdtype = cdtype
 
         # Per-channel constants, generated on host once and uploaded.
-        self.kernel = jnp.asarray(wkernel.make_convolution_kernel(image_p, grid_p))
+        self.kernel = xfer.device_complex(
+            wkernel.make_convolution_kernel(image_p, grid_p))
         beta = wkernel.default_beta(grid_p.fixed.antialias_width)
         self.taper1d = jnp.asarray(
             wkernel.taper(N, grid_p.fixed.antialias_width,
@@ -155,7 +156,7 @@ class Imaging:
         vis = np.asarray(vis).astype(np.complex64)
         self.grid = gridder.grid_vis(
             self.grid, self.kernel, self.weights.grid, uv, sub_uv, w_plane,
-            jnp.asarray(_pad_to(vis, n)), pixels=self.pixels)
+            xfer.device_complex(_pad_to(vis, n)), pixels=self.pixels)
 
     def _slice_plan(self, chunk, w_slice: int) -> mxu_gridder.ChunkPlan:
         key = (w_slice, len(chunk.uv))
@@ -174,7 +175,7 @@ class Imaging:
         if plan.uv.shape[0] == 0:
             return
         if not isinstance(vis, jnp.ndarray):
-            vis = jnp.asarray(np.asarray(vis).astype(np.complex64))
+            vis = xfer.device_complex(np.asarray(vis))
         else:
             vis = vis.astype(jnp.complex64)
         vis_chunked = self._mxu.chunk_vis(plan, vis)
@@ -187,7 +188,7 @@ class Imaging:
         result stays on device."""
         plan = self._slice_plan(chunk, w_slice)
         if not isinstance(vis, jnp.ndarray):
-            vis = jnp.asarray(np.asarray(vis).astype(np.complex64))
+            vis = xfer.device_complex(np.asarray(vis))
         vis_chunked = self._mxu.chunk_vis(plan, vis)
         out_chunked = self._mxu.degrid(model_grid, self.kernel, plan,
                                        vis_chunked)
@@ -204,7 +205,8 @@ class Imaging:
             vis_j = jnp.pad(vis.astype(jnp.complex64),
                             ((0, n - vis.shape[0]), (0, 0)))
         else:
-            vis_j = jnp.asarray(_pad_to(np.asarray(vis).astype(np.complex64), n))
+            vis_j = xfer.device_complex(
+                _pad_to(np.asarray(vis).astype(np.complex64), n))
         weights_j = jnp.asarray(
             _pad_to(np.asarray(chunk.weights).astype(np.float32), n))
         out = predict.predict_subtract(
@@ -358,4 +360,4 @@ class Imaging:
     def get_buffer(self, name: str) -> np.ndarray:
         if name == "weights_grid":
             return np.asarray(self.weights.grid)
-        return np.asarray(getattr(self, name))
+        return xfer.fetch(getattr(self, name))

@@ -299,10 +299,12 @@ def make_example_batch(cfg: MultiChannelConfig, num_channels: int,
                     if M == 0:
                         raise
 
+    from .. import xfer
+
     return ChannelBatch(
-        kernel=jnp.asarray(kernels), taper1d=jnp.asarray(tapers),
+        kernel=xfer.device_complex(kernels), taper1d=jnp.asarray(tapers),
         pixel_size=jnp.asarray(pixel_sizes), mid_w=jnp.asarray(mid_ws),
         uv=jnp.asarray(out["uv"]), sub_uv=jnp.asarray(out["sub_uv"]),
         w_plane=jnp.asarray(out["w_plane"]), anchor=jnp.asarray(anchors),
         valid=jnp.asarray(valids), weights=jnp.asarray(out["weights"]),
-        vis=jnp.asarray(out["vis"]))
+        vis=xfer.device_complex(out["vis"]))

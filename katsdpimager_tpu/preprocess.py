@@ -36,6 +36,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import xfer
+
 # -----------------------------------------------------------------------------
 # Static per-channel geometry for quantization
 
@@ -94,6 +96,17 @@ def apply_mueller_weights(vis, weights, mueller):
         var = jnp.sum(contrib, axis=-1)
     xweights = 1.0 / var
     return xvis, xweights
+
+
+def rotated_mueller_np(from_circular, to_circular, feed_angle1, feed_angle2):
+    """Numpy version of :func:`rotated_mueller` (host data plane)."""
+    r1 = np.exp(1j * np.asarray(feed_angle1, np.float32))
+    r2 = np.exp(1j * np.asarray(feed_angle2, np.float32))
+    rr = r1 * np.conj(r2)
+    rl = r1 * r2
+    diag = np.stack([rr, rl, np.conj(rl), np.conj(rr)], axis=-1)
+    mid = np.asarray(to_circular)[None, :, :] * diag[:, :, None]
+    return np.einsum("pc,ncq->npq", np.asarray(from_circular), mid)
 
 
 def rotated_mueller(from_circular, to_circular, feed_angle1, feed_angle2):
@@ -283,17 +296,21 @@ class VisibilityCollector:
         uvw = np.asarray(uvw, np.float32)
         N = uvw.shape[0]
         if mueller_circular is not None:
-            mueller = rotated_mueller(
-                jnp.asarray(mueller_stokes), jnp.asarray(mueller_circular),
-                jnp.asarray(feed_angle1), jnp.asarray(feed_angle2))
+            mueller_dev = rotated_mueller(
+                xfer.device_complex(np.asarray(mueller_stokes)),
+                xfer.device_complex(np.asarray(mueller_circular)),
+                jnp.asarray(np.asarray(feed_angle1, np.float32)),
+                jnp.asarray(np.asarray(feed_angle2, np.float32)))
         else:
-            mueller = jnp.asarray(mueller_stokes)
+            mueller_dev = xfer.device_complex(np.asarray(mueller_stokes))
         for channel in range(self.num_channels):
             out = _preprocess_channel(
                 self.geometries[channel], self.num_pols,
                 jnp.asarray(uvw), jnp.asarray(weights[channel]),
-                jnp.asarray(vis[channel]), mueller)
+                xfer.device_complex(np.asarray(vis[channel])), mueller_dev)
+            out_vis = xfer.fetch_complex(out.pop("vis"))
             out = jax.device_get(out)
+            out["vis"] = out_vis
             self._store(channel, out)
             self.num_input += N
             self.num_output += int(out["count"])
@@ -408,9 +425,8 @@ class VisibilityCollectorNative(VisibilityCollector):
         uvw = np.ascontiguousarray(uvw, np.float32)
         N = uvw.shape[0]
         if mueller_circular is not None:
-            mueller = np.asarray(rotated_mueller(
-                jnp.asarray(mueller_stokes), jnp.asarray(mueller_circular),
-                jnp.asarray(feed_angle1), jnp.asarray(feed_angle2)))
+            mueller = rotated_mueller_np(mueller_stokes, mueller_circular,
+                                         feed_angle1, feed_angle2)
         else:
             mueller = np.asarray(mueller_stokes)
         for channel in range(self.num_channels):
