@@ -28,13 +28,16 @@ def _split(z):
 
 def device_complex(x) -> jnp.ndarray:
     """Upload a complex array as float pairs; returns a device-resident
-    complex array (which must not itself be fetched directly)."""
+    complex array (which must not itself be fetched directly).  Preserves
+    precision: complex128 crosses as float64 pairs (when x64 is enabled)."""
     x = np.asarray(x)
+    rdt = np.float64 if (x.dtype in (np.complex128, np.float64)
+                         and jax.config.jax_enable_x64) else np.float32
     if not np.iscomplexobj(x):
-        return _combine(jnp.asarray(x.astype(np.float32)),
-                        jnp.zeros(x.shape, jnp.float32))
-    return _combine(jnp.asarray(np.ascontiguousarray(x.real, np.float32)),
-                    jnp.asarray(np.ascontiguousarray(x.imag, np.float32)))
+        return _combine(jnp.asarray(x.astype(rdt)),
+                        jnp.zeros(x.shape, rdt))
+    return _combine(jnp.asarray(np.ascontiguousarray(x.real, rdt)),
+                    jnp.asarray(np.ascontiguousarray(x.imag, rdt)))
 
 
 def fetch_complex(z) -> np.ndarray:
