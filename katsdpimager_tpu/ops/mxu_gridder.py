@@ -195,21 +195,21 @@ def _chunk_factors(kernel, uv, sub_uv, w_plane, anchor, valid, *,
     ku = jnp.where(valid[:, None], ku, 0)
     kv = jnp.where(valid[:, None], kv, 0)
 
+    # Scatter each vis's K kernel taps to its window offset via a
+    # comparison-select reduction.  (A take_along_axis gather here lowers to
+    # per-lane gathers, ~15x slower on TPU than this VPU-friendly form.)
+    taps = jnp.arange(K, dtype=jnp.int32)
     cols = jnp.arange(ru + K, dtype=jnp.int32)
-    tap_u = cols[None, :] - u0r[:, None]            # (Mc, Ru+K)
-    in_u = (tap_u >= 0) & (tap_u < K)
-    Utap = jnp.where(
-        in_u,
-        jnp.take_along_axis(ku, jnp.clip(tap_u, 0, K - 1), axis=1),
-        0)
+    pos_u = u0r[:, None] + taps[None, :]            # (Mc, K)
+    Utap = jnp.sum(
+        jnp.where(cols[None, None, :] == pos_u[:, :, None],
+                  ku[:, :, None], 0), axis=1)       # (Mc, Ru+K)
 
     rows = jnp.arange(rv + K, dtype=jnp.int32)
-    tap_v = rows[None, :] - v0r[:, None]            # (Mc, Rv+K)
-    in_v = (tap_v >= 0) & (tap_v < K)
-    Vt = jnp.where(
-        in_v,
-        jnp.take_along_axis(kv, jnp.clip(tap_v, 0, K - 1), axis=1),
-        0)                                          # (Mc, Rv+K)
+    pos_v = v0r[:, None] + taps[None, :]            # (Mc, K)
+    Vt = jnp.sum(
+        jnp.where(rows[None, None, :] == pos_v[:, :, None],
+                  kv[:, :, None], 0), axis=1)       # (Mc, Rv+K)
     return Vt, Utap
 
 
