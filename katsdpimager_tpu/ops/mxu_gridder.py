@@ -259,6 +259,165 @@ grid_chunks = partial(jax.jit,
                       donate_argnums=(0,))(grid_chunks_impl)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Tile-aligned planning + dense (scan-free) gridding
+#
+# The scan formulation above serializes chunks through a windowed
+# read-modify-write of the grid carry.  The dense formulation removes the
+# serial dependency: chunks are tile-aligned (anchor = tile * TS, window
+# (TS+K)^2 with TS >= K), ALL bands are computed by one batched einsum, and
+# bands land in a 4-colour tile array — same-colour windows are disjoint by
+# construction — which folds into the grid with four dense shifted adds.
+
+
+def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
+                      kernel_width: int, ts: int = 64,
+                      mc: int = 256) -> "ChunkPlan":
+    """Tile-aligned chunk plan (vectorized, no python walk).
+
+    Requires ``kernel_width <= ts``.  Returns a :class:`ChunkPlan` whose
+    anchors are multiples of ``ts`` (windows ``(ts+K)^2``).
+    """
+    K = kernel_width
+    assert K <= ts, "tile size must cover the kernel"
+    n = len(uv)
+    uv_bias = (K - 1) // 2 - pixels // 2
+    if n == 0:
+        return plan_chunks(uv, sub_uv, w_plane, vis, weights, pixels=pixels,
+                           kernel_width=K, rv=ts, ru=ts, mc=mc)
+
+    u0 = uv[:, 0].astype(np.int64) - uv_bias
+    v0 = uv[:, 1].astype(np.int64) - uv_bias
+    tv = v0 // ts
+    tu = u0 // ts
+    ntu = -(-pixels // ts) + 1
+    key = tv * ntu + tu
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+
+    # group boundaries per tile; chunks of <= mc within each tile
+    starts = np.concatenate([[0], 1 + np.nonzero(np.diff(key_s))[0]])
+    counts = np.diff(np.concatenate([starts, [n]]))
+    chunks_per_tile = -(-counts // mc)
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per_tile)])
+    n_chunks = int(chunk_base[-1])
+    n_padded = 1
+    while n_padded < n_chunks:
+        n_padded *= 2
+
+    # per-vis local index within its tile group
+    local = np.arange(n) - np.repeat(starts, counts)
+    group_of = np.repeat(np.arange(len(counts)), counts)
+    chunk_of = chunk_base[group_of] + local // mc
+    slot_of = local % mc
+
+    P = vis.shape[1]
+    c_uv = np.zeros((n_padded, mc, 2), np.int32)
+    c_sub = np.zeros((n_padded, mc, 2), np.int32)
+    c_wp = np.zeros((n_padded, mc), np.int32)
+    c_vis = np.zeros((n_padded, mc, P), np.complex64)
+    c_wt = np.zeros((n_padded, mc, P), np.float32)
+    anchor = np.zeros((n_padded, 2), np.int32)
+    valid = np.zeros((n_padded, mc), bool)
+
+    c_uv[chunk_of, slot_of] = uv[order]
+    c_sub[chunk_of, slot_of] = sub_uv[order]
+    c_wp[chunk_of, slot_of] = w_plane[order]
+    c_vis[chunk_of, slot_of] = vis[order]
+    c_wt[chunk_of, slot_of] = weights[order]
+    valid[chunk_of, slot_of] = True
+    # anchors per chunk from the tile of its first vis
+    anchor[chunk_of, 0] = (tv[order] * ts).astype(np.int32)
+    anchor[chunk_of, 1] = (tu[order] * ts).astype(np.int32)
+
+    return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, anchor, valid,
+                     order, chunk_of, slot_of)
+
+
+def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
+                           plan_wp, plan_vis, plan_anchor, plan_valid, *,
+                           pixels: int, ts: int, group: int = 512):
+    """Scan-free gridding: batched band einsum + 4-colour dense combine.
+
+    ``grid_pad`` is (P, pixels + 4*ts, pixels + 4*ts) complex (zero-padded
+    working copy; caller crops).  Anchors must be tile-aligned
+    (:func:`plan_chunks_tiled`).
+    """
+    K = kernel.shape[-1]
+    Np = pixels
+    half = Np // 2
+    Pp = grid_pad.shape[0]
+    NC = plan_uv.shape[0]
+    TSK = ts + K
+    TS2 = 2 * ts
+    ntv = -(-Np // ts) + 1            # tiles per axis (with margin)
+    nt2 = -(-ntv // 2) + 1            # same-colour tiles per axis
+
+    n_groups = -(-NC // group)
+    pad_nc = n_groups * group - NC
+
+    def padg(a):
+        return jnp.pad(a, [(0, pad_nc)] + [(0, 0)] * (a.ndim - 1))
+
+    uv_g = padg(plan_uv).reshape(n_groups, group, -1, 2)
+    sub_g = padg(plan_sub).reshape(n_groups, group, -1, 2)
+    wp_g = padg(plan_wp).reshape(n_groups, group, -1)
+    vis_g = padg(plan_vis).reshape(n_groups, group, -1, Pp)
+    anc_g = padg(plan_anchor).reshape(n_groups, group, 2)
+    val_g = padg(plan_valid).reshape(n_groups, group, -1)
+
+    def group_body(T, xs):
+        uv, sub, wp, vis, anchor, valid = xs
+
+        def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
+            Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c,
+                                      val_c, pixels=Np, rv=ts, ru=ts)
+            uq = uv_c[:, 0] + half
+            vq = uv_c[:, 1] + half
+            dw = weights_grid[:, vq, uq]
+            sample = vis_c.T * dw
+            V = jnp.conj(Vt).T
+            US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
+            return jnp.einsum("rm,pmc->prc", V, US,
+                              preferred_element_type=grid_pad.dtype)
+
+        bands = jax.vmap(one)(uv, sub, wp, vis, anchor, valid)
+        bands = jnp.pad(bands,
+                        ((0, 0), (0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
+        tv = anchor[:, 0] // ts
+        tu = anchor[:, 1] // ts
+        T = T.at[tv & 1, tu & 1, tv >> 1, tu >> 1].add(bands)
+        return T, None
+
+    T0 = jnp.zeros((2, 2, nt2, nt2, Pp, TS2, TS2), grid_pad.dtype)
+    T, _ = jax.lax.scan(group_body, T0,
+                        (uv_g, sub_g, wp_g, vis_g, anc_g, val_g))
+
+    # Four dense shifted adds: colour (a, b) tiles form a contiguous image.
+    ext = nt2 * TS2
+    for a in range(2):
+        for b in range(2):
+            # (tv2, tu2, P, y, x) -> (P, tv2*TS2 + y, tu2*TS2 + x)
+            img = T[a, b].transpose(2, 0, 3, 1, 4).reshape(Pp, ext, ext)
+            grid_pad = grid_pad.at[:, a * ts:a * ts + ext,
+                                   b * ts:b * ts + ext].add(img)
+    return grid_pad
+
+
+def dense_pad_size(pixels: int, ts: int) -> int:
+    """Padded grid extent required by :func:`grid_chunks_dense_impl`."""
+    ntv = -(-pixels // ts) + 1
+    nt2 = -(-ntv // 2) + 1
+    return ts + nt2 * 2 * ts
+
+
+grid_chunks_dense = partial(jax.jit,
+                            static_argnames=("pixels", "ts", "group"),
+                            donate_argnums=(0,))(grid_chunks_dense_impl)
+
+
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
                        plan_vis, plan_anchor, plan_valid, *, pixels: int,
                        rv: int, ru: int):
@@ -310,15 +469,26 @@ class MxuGridder:
     """
 
     def __init__(self, *, pixels: int, kernel_width: int, num_pols: int,
-                 rv: int = 64, ru: int = 64, mc: int = 256):
+                 rv: int = 64, ru: int = 64, mc: int = 256,
+                 mode: str = "dense"):
         self.pixels = pixels
         self.K = kernel_width
         self.num_pols = num_pols
+        # dense mode needs square tiles covering the kernel
+        if mode == "dense":
+            ts = max(rv, ru, kernel_width)
+            rv = ru = ts
         self.rv = rv
         self.ru = ru
         self.mc = mc
+        self.mode = mode
 
     def plan(self, uv, sub_uv, w_plane, vis, weights) -> ChunkPlan:
+        if self.mode == "dense":
+            return plan_chunks_tiled(
+                np.asarray(uv), np.asarray(sub_uv), np.asarray(w_plane),
+                np.asarray(vis), np.asarray(weights), pixels=self.pixels,
+                kernel_width=self.K, ts=self.rv, mc=self.mc)
         return plan_chunks(np.asarray(uv), np.asarray(sub_uv),
                            np.asarray(w_plane), np.asarray(vis),
                            np.asarray(weights), pixels=self.pixels,
@@ -342,12 +512,24 @@ class MxuGridder:
         ``vis_chunked`` overrides the plan's vis payload (same layout)."""
         if plan.uv.shape[0] == 0:
             return grid
+        vis_arr = (jnp.asarray(plan.vis) if vis_chunked is None
+                   else vis_chunked)
+        if self.mode == "dense" and not self._use_pallas(grid.shape[0]):
+            ext = dense_pad_size(self.pixels, self.rv)
+            gpad = jnp.pad(grid, ((0, 0), (0, ext - self.pixels),
+                                  (0, ext - self.pixels)))
+            gpad = grid_chunks_dense(
+                gpad, kernel, weights_grid,
+                jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+                jnp.asarray(plan.w_plane), vis_arr,
+                jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+                pixels=self.pixels, ts=self.rv)
+            return gpad[:, :self.pixels, :self.pixels]
         pad_v, pad_u = self.rv, self.ru
         gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
         args = (gpad, kernel, weights_grid,
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
-                jnp.asarray(plan.w_plane),
-                jnp.asarray(plan.vis) if vis_chunked is None else vis_chunked,
+                jnp.asarray(plan.w_plane), vis_arr,
                 jnp.asarray(plan.anchor), jnp.asarray(plan.valid))
         if self._use_pallas(grid.shape[0]):
             from .pallas_gridder import grid_chunks_pallas

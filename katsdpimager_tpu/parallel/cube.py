@@ -90,10 +90,11 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
 
     def body(dirty, xs):
         uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid = xs
-        gpad = jnp.zeros((Pp, N + cfg.rv, N + cfg.ru), jnp.complex64)
-        gpad = mxu_gridder.grid_chunks_impl(
+        ext = mxu_gridder.dense_pad_size(N, cfg.rv)
+        gpad = jnp.zeros((Pp, ext, ext), jnp.complex64)
+        gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
-            pixels=N, rv=cfg.rv, ru=cfg.ru)
+            pixels=N, ts=cfg.rv)
         grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
                                    pixels=N)

@@ -111,10 +111,11 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     # ---- W-stacked dirty image via the MXU chunk gridder
     def slice_body(dirty, xs):
         uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid = xs
-        gpad = jnp.zeros((Pp, N + cfg.rv, N + cfg.ru), vis.dtype)
-        gpad = mxu_gridder.grid_chunks_impl(
+        ext = mxu_gridder.dense_pad_size(N, cfg.rv)
+        gpad = jnp.zeros((Pp, ext, ext), vis.dtype)
+        gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
-            pixels=N, rv=cfg.rv, ru=cfg.ru)
+            pixels=N, ts=cfg.rv)
         grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
                                    pixels=N)
@@ -208,12 +209,11 @@ def single_channel_step(cfg: MultiChannelConfig):
 def chunk_channel(cfg: MultiChannelConfig, uv, sub_uv, w_plane, vis,
                   weights):
     """Plan one (channel, slice) into the padded chunk layout of the batch."""
-    plan = mxu_gridder.plan_chunks(
+    plan = mxu_gridder.plan_chunks_tiled(
         np.asarray(uv, np.int16), np.asarray(sub_uv, np.int16),
         np.asarray(w_plane, np.int16), np.asarray(vis, np.complex64),
         np.asarray(weights, np.float32), pixels=cfg.pixels,
-        kernel_width=cfg.kernel_width, rv=cfg.rv, ru=cfg.ru,
-        mc=cfg.chunk_size)
+        kernel_width=cfg.kernel_width, ts=cfg.rv, mc=cfg.chunk_size)
     NC = cfg.chunks_per_slice
     # plan_chunks pads its chunk axis to a power of two; trim to the chunks
     # that actually hold visibilities before re-padding to the batch layout.
