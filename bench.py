@@ -23,11 +23,21 @@ a smaller CPU-sized workload when no accelerator is attached.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# Compilation through the experimental TPU tunnel is slow (minutes); use a
+# persistent cache next to this file so repeat runs start hot.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -45,7 +55,7 @@ def main():
     if on_accel:
         cfg = MultiChannelConfig(
             pixels=4096, num_pols=1, kernel_width=60, oversample=8,
-            w_planes=32, w_slices=2, chunks_per_slice=4096, chunk_size=256,
+            w_planes=32, w_slices=1, chunks_per_slice=8192, chunk_size=256,
             rv=64, ru=64, minor_cycles=0)
     else:
         cfg = MultiChannelConfig(
@@ -56,8 +66,10 @@ def main():
     num_vis = int(np.asarray(batch.valid).sum())
     base = single_channel_step(cfg)
 
-    kern_p = _pair(np.asarray(batch.kernel[0]))
-    vis_p = _pair(np.asarray(batch.vis[0]))
+    from katsdpimager_tpu import xfer
+
+    kern_p = _pair(xfer.fetch_complex(batch.kernel[0]))
+    vis_p = _pair(xfer.fetch_complex(batch.vis[0]))
     rest = [jnp.asarray(np.asarray(x[0])) for x in
             (batch.taper1d, batch.pixel_size, batch.mid_w, batch.uv,
              batch.sub_uv, batch.w_plane, batch.anchor, batch.valid,
