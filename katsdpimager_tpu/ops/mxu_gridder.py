@@ -336,6 +336,49 @@ def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
                      order, chunk_of, slot_of)
 
 
+
+
+def _fft_pad_len(tsk: int) -> int:
+    """FFT length for spectral factor assembly: next power of two >= tsk."""
+    L = 1
+    while L < tsk:
+        L *= 2
+    return L
+
+
+def _chunk_factors_fft(kernel_fft, kernel_width, uv, sub_uv, w_plane,
+                       anchor, valid, *, pixels: int, rv: int, ru: int):
+    """Spectral factor assembly: a one-hot tap shift is a phase ramp.
+
+    ``kernel_fft`` is ``fft(pad(kernel, (0, L-K)), axis=-1)`` of the
+    (W, O, K) table with L = _fft_pad_len(ts + K).  Per visibility the
+    shifted kernel row is ``ifft(kernel_fft[wp, sub] * exp(-2pi i f u0r/L))``
+    — a row gather, a complex ramp and one batched iFFT instead of the
+    (Mc, K, R+K) comparison-select reduction (~10x less VPU work at K=60).
+    Exact (no circular wraparound): u0r + K <= ts + K <= L.
+    """
+    K = kernel_width
+    L = kernel_fft.shape[-1]
+    uv_bias = (K - 1) // 2 - pixels // 2
+    u0r = uv[:, 0] - uv_bias - anchor[1]
+    v0r = uv[:, 1] - uv_bias - anchor[0]
+    wp = w_plane
+
+    spec_u = kernel_fft[wp, sub_uv[:, 0], :]   # (Mc, L)
+    spec_v = kernel_fft[wp, sub_uv[:, 1], :]
+    freqs = jnp.arange(L, dtype=jnp.float32) * (2 * np.pi / L)
+    phase_u = -freqs[None, :] * u0r.astype(jnp.float32)[:, None]
+    phase_v = -freqs[None, :] * v0r.astype(jnp.float32)[:, None]
+    ramp_u = jax.lax.complex(jnp.cos(phase_u), jnp.sin(phase_u))
+    ramp_v = jax.lax.complex(jnp.cos(phase_v), jnp.sin(phase_v))
+    Utap = jnp.fft.ifft(spec_u * ramp_u, axis=-1)[:, :ru + K]
+    Vt = jnp.fft.ifft(spec_v * ramp_v, axis=-1)[:, :rv + K]
+    mask = valid[:, None]
+    cdtype = kernel_fft.dtype
+    return (jnp.where(mask, Vt, 0).astype(cdtype),
+            jnp.where(mask, Utap, 0).astype(cdtype))
+
+
 def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                            plan_wp, plan_vis, plan_anchor, plan_valid, *,
                            pixels: int, ts: int, group: int = 512):
@@ -355,6 +398,11 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     ntv = -(-Np // ts) + 1            # tiles per axis (with margin)
     nt2 = -(-ntv // 2) + 1            # same-colour tiles per axis
 
+    L = _fft_pad_len(TSK)
+    kernel_fft = jnp.fft.fft(
+        jnp.pad(kernel, ((0, 0), (0, 0), (0, L - K))), axis=-1
+    ).astype(kernel.dtype)
+
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC
 
@@ -372,8 +420,9 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         uv, sub, wp, vis, anchor, valid = xs
 
         def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
-            Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c,
-                                      val_c, pixels=Np, rv=ts, ru=ts)
+            Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv_c, sub_c, wp_c,
+                                          anc_c, val_c, pixels=Np, rv=ts,
+                                          ru=ts)
             uq = uv_c[:, 0] + half
             vq = uv_c[:, 1] + half
             dw = weights_grid[:, vq, uq]
