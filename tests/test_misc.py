@@ -196,3 +196,22 @@ class TestSpectralModel:
         np.testing.assert_allclose(f0[0, 0], 2.0)
         f2 = model.flux_density(299792458.0 / 2.8e9)
         np.testing.assert_allclose(f2[0, 0], 2.0 * 2 ** -0.7, rtol=1e-12)
+
+
+class TestXfer:
+    def test_complex_round_trip(self):
+        from katsdpimager_tpu import xfer
+
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=(4, 5)) + 1j * rng.normal(size=(4, 5))
+             ).astype(np.complex64)
+        dev = xfer.device_complex(x)
+        np.testing.assert_allclose(xfer.fetch_complex(dev), x, rtol=1e-6)
+        np.testing.assert_allclose(xfer.fetch(dev), x, rtol=1e-6)
+
+    def test_real_passthrough(self):
+        from katsdpimager_tpu import xfer
+
+        x = np.ones((3, 3), np.float32)
+        np.testing.assert_array_equal(xfer.fetch(xfer.device_complex(x)),
+                                      x.astype(np.complex64))
