@@ -109,6 +109,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv, namespace=arguments.SmartNamespace())
     setup_logging(args.log_level)
 
+    from .xfer import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.write_profile:
         Profiler.set_profiler(FlamegraphProfiler())
 

@@ -182,6 +182,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv, namespace=arguments.SmartNamespace())
     setup_logging(args.log_level)
 
+    from .xfer import enable_compilation_cache
+
+    enable_compilation_cache()
+
     dataset = loader.load(args.input_file, args.input_option,
                           args.start_channel, args.stop_channel)
     try:

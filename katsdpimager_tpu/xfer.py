@@ -51,3 +51,20 @@ def fetch(x) -> np.ndarray:
     if jnp.iscomplexobj(x):
         return fetch_complex(x)
     return np.asarray(x)
+
+def enable_compilation_cache():
+    """Persist XLA compiles next to the repo (compiles through the axon
+    tunnel take minutes; see doc/PERFORMANCE.md)."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
