@@ -469,16 +469,24 @@ grid_chunks_dense = partial(jax.jit,
 
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
                        plan_vis, plan_anchor, plan_valid, *, pixels: int,
-                       rv: int, ru: int):
-    """Predict + subtract for all chunks; returns updated (C, Mc, P) vis."""
+                       rv: int, ru: int, group: int = 512):
+    """Predict + subtract for all chunks; returns updated (C, Mc, P) vis.
+
+    Chunk windows are read-only, so chunks evaluate in parallel (vmap)
+    within memory-bounded groups.
+    """
     K = kernel.shape[-1]
     Np = pixels
     Pp = plan_vis.shape[-1]
+    NC = plan_uv.shape[0]
+    L = _fft_pad_len(max(rv, ru) + K)
+    kernel_fft = jnp.fft.fft(
+        jnp.pad(kernel, ((0, 0), (0, 0), (0, L - K))), axis=-1
+    ).astype(kernel.dtype)
 
-    def body(_, xs):
-        uv, sub, wp, wt, vis, anchor, valid = xs
-        Vt, Utap = _chunk_factors(kernel, uv, sub, wp, anchor, valid,
-                                  pixels=Np, rv=rv, ru=ru)
+    def one(uv, sub, wp, wt, vis, anchor, valid):
+        Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv, sub, wp, anchor,
+                                      valid, pixels=Np, rv=rv, ru=ru)
         win = jax.lax.dynamic_slice(
             grid, (jnp.zeros((), anchor.dtype), anchor[0], anchor[1]),
             (Pp, rv + K, ru + K))
@@ -486,13 +494,19 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         T = jnp.einsum("mr,prc->pmc", Vt, win,
                        preferred_element_type=grid.dtype)
         predicted = jnp.sum(T * Utap[None, :, :], axis=-1)  # (P, Mc)
-        out = vis - wt * predicted.T.astype(vis.dtype)
-        return None, out
+        return vis - wt * predicted.T.astype(vis.dtype)
 
-    _, new_vis = jax.lax.scan(
-        body, None, (plan_uv, plan_sub, plan_wp, plan_wt, plan_vis,
-                     plan_anchor, plan_valid))
-    return new_vis
+    n_groups = -(-NC // group)
+    pad_nc = n_groups * group - NC
+
+    def padg(a):
+        return jnp.pad(a, [(0, pad_nc)] + [(0, 0)] * (a.ndim - 1))
+
+    args = [padg(a).reshape((n_groups, group) + a.shape[1:])
+            for a in (plan_uv, plan_sub, plan_wp, plan_wt, plan_vis,
+                      plan_anchor, plan_valid)]
+    new_vis = jax.lax.map(lambda xs: jax.vmap(one)(*xs), tuple(args))
+    return new_vis.reshape((n_groups * group,) + plan_vis.shape[1:])[:NC]
 
 
 degrid_chunks = partial(jax.jit,
