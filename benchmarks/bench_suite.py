@@ -32,13 +32,26 @@ def _accel() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
+def _checksum(out):
+    """Reduce any pytree of arrays to one f32 scalar (complex-safe)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    total = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        if jnp.iscomplexobj(leaf):
+            total += jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+        else:
+            total += jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+    return total
+
+
 def _time(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Time with host-fetch synchronization (the axon tunnel does not
+    honour block_until_ready; fetching an f32 scalar does synchronize)."""
+    float(_checksum(fn(*args)))
     start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    vals = [fn(*args) for _ in range(iters)]
+    for v in vals:
+        float(_checksum(v))
     return (time.perf_counter() - start) / iters
 
 
@@ -111,14 +124,21 @@ def _grid_setup():
     return g, plan, kernel, pixels, K, n
 
 
+def _dev_c(x):
+    from katsdpimager_tpu import xfer
+
+    return xfer.device_complex(np.asarray(x))
+
+
 def bench_grid():
     g, plan, kernel, pixels, K, n = _grid_setup()
     wg = jnp.ones((1, pixels, pixels), jnp.float32)
-    kern = jnp.asarray(kernel)
+    kern = _dev_c(kernel)
     zero = jnp.zeros((1, pixels, pixels), jnp.complex64)
+    visc = _dev_c(plan.vis)
 
     def run():
-        return g.grid(zero, kern, wg, plan)
+        return g.grid(zero, kern, wg, plan, vis_chunked=visc)
 
     dt = _time(run)
     _report(metric="grid", value=round(n * K * K / dt / 1e9, 2),
@@ -131,9 +151,9 @@ def bench_degrid():
     rng = np.random.default_rng(2)
     grid = (rng.normal(size=(1, pixels, pixels))
             + 1j * rng.normal(size=(1, pixels, pixels))).astype(np.complex64)
-    grid_j = jnp.asarray(grid)
-    kern = jnp.asarray(kernel)
-    visc = jnp.asarray(plan.vis)
+    grid_j = _dev_c(grid)
+    kern = _dev_c(kernel)
+    visc = _dev_c(plan.vis)
 
     def run():
         return g.degrid(grid_j, kern, plan, visc)
@@ -149,7 +169,9 @@ def bench_fft():
     rng = np.random.default_rng(3)
     grid = (rng.normal(size=(pixels, pixels))
             + 1j * rng.normal(size=(pixels, pixels))).astype(np.complex64)
-    grid_j = jnp.asarray(grid)
+    from katsdpimager_tpu import xfer
+
+    grid_j = xfer.device_complex(grid)
     fn = jax.jit(lambda g: jnp.fft.ifft2(g))
     dt = _time(fn, grid_j)
     gib = pixels * pixels * 8 * 4 / dt / 2 ** 30

@@ -533,7 +533,12 @@ class MxuGridder:
 
     def __init__(self, *, pixels: int, kernel_width: int, num_pols: int,
                  rv: int = 64, ru: int = 64, mc: int = 256,
-                 mode: str = "dense"):
+                 mode: str | None = None):
+        if mode is None:
+            # dense wins on TPU (parallel bands); scan wins on CPU where
+            # the windowed RMW is cheap and padding hurts.
+            mode = ("dense" if jax.devices()[0].platform == "tpu"
+                    else "scan")
         self.pixels = pixels
         self.K = kernel_width
         self.num_pols = num_pols
