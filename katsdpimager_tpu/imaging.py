@@ -83,7 +83,7 @@ class Imaging:
             image_p, grid_p)
 
         # State buffers
-        self.grid = jnp.zeros((P, N, N), cdtype)
+        self.grid = xfer.device_zeros((P, N, N), cdtype)
         self.dirty = jnp.zeros((P, N, N), rdtype)
         self.model = jnp.zeros((P, N, N), rdtype)
         self.psf = jnp.zeros((P, N, N), rdtype)
@@ -112,7 +112,7 @@ class Imaging:
     # clearing
 
     def clear_grid(self):
-        self.grid = jnp.zeros_like(self.grid)
+        self.grid = xfer.device_zeros(self.grid.shape, self.grid.dtype)
 
     def clear_dirty(self):
         self.dirty = jnp.zeros_like(self.dirty)

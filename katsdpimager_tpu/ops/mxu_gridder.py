@@ -582,10 +582,12 @@ class MxuGridder:
             return grid
         vis_arr = (jnp.asarray(plan.vis) if vis_chunked is None
                    else vis_chunked)
+        from .. import xfer
+
         if self.mode == "dense" and not self._use_pallas(grid.shape[0]):
             ext = dense_pad_size(self.pixels, self.rv)
-            gpad = jnp.pad(grid, ((0, 0), (0, ext - self.pixels),
-                                  (0, ext - self.pixels)))
+            gpad = xfer.device_pad(grid, ext - self.pixels,
+                                   ext - self.pixels)
             gpad = grid_chunks_dense(
                 gpad, kernel, weights_grid,
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
@@ -594,7 +596,7 @@ class MxuGridder:
                 pixels=self.pixels, ts=self.rv)
             return gpad[:, :self.pixels, :self.pixels]
         pad_v, pad_u = self.rv, self.ru
-        gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
+        gpad = xfer.device_pad(grid, pad_v, pad_u)
         args = (gpad, kernel, weights_grid,
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
                 jnp.asarray(plan.w_plane), vis_arr,
@@ -611,8 +613,10 @@ class MxuGridder:
 
     def degrid(self, grid, kernel, plan: ChunkPlan, vis_chunked):
         """Subtract degridded model from chunked vis; returns (C, Mc, P)."""
+        from .. import xfer
+
         pad_v, pad_u = self.rv, self.ru
-        gpad = jnp.pad(grid, ((0, 0), (0, pad_v), (0, pad_u)))
+        gpad = xfer.device_pad(grid, pad_v, pad_u)
         args = (gpad, kernel,
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
                 jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),

@@ -46,6 +46,31 @@ def fetch_complex(z) -> np.ndarray:
     return np.asarray(re) + 1j * np.asarray(im)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("shape", "dtype"))
+def _zeros(shape, dtype):
+    return jnp.zeros(shape, dtype)
+
+
+def device_zeros(shape, dtype) -> jnp.ndarray:
+    """Complex-safe zeros: created inside jit so no complex constant
+    crosses the host-device boundary (eager jnp.zeros would transfer the
+    fill scalar as a buffer, which the axon tunnel rejects)."""
+    return _zeros(tuple(int(s) for s in shape), jnp.dtype(dtype))
+
+
+@_partial(jax.jit, static_argnames=("pad_y", "pad_x"))
+def _pad_hl(x, pad_y, pad_x):
+    return jnp.pad(x, ((0, 0), (0, pad_y), (0, pad_x)))
+
+
+def device_pad(x, pad_y: int, pad_x: int) -> jnp.ndarray:
+    """Complex-safe trailing zero-pad of a (P, H, W) device array."""
+    return _pad_hl(x, pad_y=int(pad_y), pad_x=int(pad_x))
+
+
 def fetch(x) -> np.ndarray:
     """Fetch any device array, routing complex through the pair path."""
     if jnp.iscomplexobj(x):
