@@ -202,8 +202,8 @@ class Imaging:
         uv, sub_uv, w_plane = self._padded_chunk(chunk)
         n = uv.shape[0]
         if isinstance(vis, jnp.ndarray):
-            vis_j = jnp.pad(vis.astype(jnp.complex64),
-                            ((0, n - vis.shape[0]), (0, 0)))
+            vis_j = xfer.device_pad_rows(vis.astype(jnp.complex64),
+                                         n - vis.shape[0])
         else:
             vis_j = xfer.device_complex(
                 _pad_to(np.asarray(vis).astype(np.complex64), n))

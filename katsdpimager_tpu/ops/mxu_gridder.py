@@ -636,7 +636,9 @@ class MxuGridder:
         Device arrays stay on device (jnp scatter); numpy stays on host.
         """
         if isinstance(vis, jnp.ndarray):
-            out = jnp.zeros(plan.vis.shape, jnp.complex64)
+            from .. import xfer
+
+            out = xfer.device_zeros(plan.vis.shape, jnp.complex64)
             return out.at[jnp.asarray(plan.chunk_of),
                           jnp.asarray(plan.slot_of)].set(
                 vis[jnp.asarray(plan.order)])
@@ -647,9 +649,12 @@ class MxuGridder:
     def unchunk_vis(self, plan: ChunkPlan, vis_chunked, n: int):
         """Inverse of :meth:`chunk_vis` (device in, device out)."""
         if isinstance(vis_chunked, jnp.ndarray):
+            from .. import xfer
+
             gathered = vis_chunked[jnp.asarray(plan.chunk_of),
                                    jnp.asarray(plan.slot_of)]
-            out = jnp.zeros((n, vis_chunked.shape[-1]), jnp.complex64)
+            out = xfer.device_zeros((n, vis_chunked.shape[-1]),
+                                    jnp.complex64)
             return out.at[jnp.asarray(plan.order)].set(gathered)
         out = np.zeros((n, vis_chunked.shape[-1]), np.complex64)
         out[plan.order] = np.asarray(vis_chunked)[plan.chunk_of, plan.slot_of]

@@ -216,8 +216,10 @@ def degrid_chunks_pallas(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     pre, pim = degrid_predict(
         grid[0].real.astype(jnp.float32), grid[0].imag.astype(jnp.float32),
         vtr, vti, utr, uti, plan_anchor, interpret=interpret)
-    predicted = (pre + 1j * pim)[..., None].astype(plan_vis.dtype)
-    return plan_vis - plan_wt * predicted
+    return jax.jit(
+        lambda v, w, a, b: v - w * jax.lax.complex(a, b)[..., None
+                                                         ].astype(v.dtype)
+    )(plan_vis, plan_wt, pre, pim)
 
 
 def _assemble_factors(kernel, weights_grid, uv, sub_uv, w_plane, vis,
@@ -259,4 +261,7 @@ def grid_chunks_pallas(grid, kernel, weights_grid, plan_uv, plan_sub,
     gre, gim = band_accumulate(
         grid[0].real.astype(jnp.float32), grid[0].imag.astype(jnp.float32),
         vr, vi, ur, ui, plan_anchor, interpret=interpret)
-    return (gre + 1j * gim)[None].astype(grid.dtype)
+    combined = jax.jit(
+        lambda a, b: jax.lax.complex(a, b)[None].astype(grid.dtype)
+    )(gre, gim)
+    return combined

@@ -71,6 +71,16 @@ def device_pad(x, pad_y: int, pad_x: int) -> jnp.ndarray:
     return _pad_hl(x, pad_y=int(pad_y), pad_x=int(pad_x))
 
 
+@_partial(jax.jit, static_argnames=("pad_rows",))
+def _pad_rows(x, pad_rows):
+    return jnp.pad(x, [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1))
+
+
+def device_pad_rows(x, pad_rows: int) -> jnp.ndarray:
+    """Complex-safe zero-pad of the leading axis."""
+    return _pad_rows(x, pad_rows=int(pad_rows))
+
+
 def fetch(x) -> np.ndarray:
     """Fetch any device array, routing complex through the pair path."""
     if jnp.iscomplexobj(x):
