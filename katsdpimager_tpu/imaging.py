@@ -107,6 +107,7 @@ class Imaging:
             pixels=N, kernel_width=grid_p.fixed.kernel_width, num_pols=P,
             rv=r, ru=r, mc=256)
         self._plans: dict = {}
+        self._dw_cache: dict = {}
 
     # ------------------------------------------------------------------
     # clearing
@@ -125,6 +126,7 @@ class Imaging:
 
     def clear_weights(self):
         self.weights.clear()
+        self._dw_cache.clear()
 
     def grid_weights(self, uv: np.ndarray, weights: np.ndarray):
         n = _round_block(len(uv), min(self.max_vis, 1 << 14))
@@ -179,9 +181,18 @@ class Imaging:
         else:
             vis = vis.astype(jnp.complex64)
         vis_chunked = self._mxu.chunk_vis(plan, vis)
+        key = (w_slice, len(chunk.uv))
+        dw = self._dw_cache.get(key)
+        if dw is None and self._mxu.mode == "dense":
+            wg = np.asarray(self.weights.grid)
+            half = self.pixels // 2
+            dw_np = wg[:, plan.uv[..., 1] + half,
+                       plan.uv[..., 0] + half].transpose(1, 2, 0)
+            dw = jnp.asarray(np.ascontiguousarray(dw_np, np.float32))
+            self._dw_cache[key] = dw
         self.grid = self._mxu.grid(self.grid, self.kernel,
                                    self.weights.grid, plan,
-                                   vis_chunked=vis_chunked)
+                                   vis_chunked=vis_chunked, dw_chunks=dw)
 
     def degrid_slice(self, chunk, vis, model_grid, w_slice: int):
         """Subtract degridded model visibilities for a whole slice; the

@@ -380,8 +380,9 @@ def _chunk_factors_fft(kernel_fft, kernel_width, uv, sub_uv, w_plane,
 
 
 def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
-                           plan_wp, plan_vis, plan_anchor, plan_valid, *,
-                           pixels: int, ts: int, group: int = 512):
+                           plan_wp, plan_vis, plan_anchor, plan_valid,
+                           dw_chunks=None, *, pixels: int, ts: int,
+                           group: int = 2048):
     """Scan-free gridding: batched band einsum + 4-colour dense combine.
 
     ``grid_pad`` is (P, pixels + 4*ts, pixels + 4*ts) complex (zero-padded
@@ -415,24 +416,40 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     vis_g = padg(plan_vis).reshape(n_groups, group, -1, Pp)
     anc_g = padg(plan_anchor).reshape(n_groups, group, 2)
     val_g = padg(plan_valid).reshape(n_groups, group, -1)
+    if dw_chunks is not None:
+        dw_g = padg(dw_chunks).reshape(n_groups, group, -1, Pp)
+    else:
+        dw_g = None
 
     def group_body(T, xs):
-        uv, sub, wp, vis, anchor, valid = xs
+        if dw_g is None:
+            uv, sub, wp, vis, anchor, valid = xs
+            dwx = None
+        else:
+            uv, sub, wp, vis, anchor, valid, dwx = xs
 
-        def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
+        def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
             Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv_c, sub_c, wp_c,
                                           anc_c, val_c, pixels=Np, rv=ts,
                                           ru=ts)
-            uq = uv_c[:, 0] + half
-            vq = uv_c[:, 1] + half
-            dw = weights_grid[:, vq, uq]
+            if dw_c is None:
+                uq = uv_c[:, 0] + half
+                vq = uv_c[:, 1] + half
+                dw = weights_grid[:, vq, uq]
+            else:
+                dw = dw_c.T
             sample = vis_c.T * dw
             V = jnp.conj(Vt).T
             US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
             return jnp.einsum("rm,pmc->prc", V, US,
                               preferred_element_type=grid_pad.dtype)
 
-        bands = jax.vmap(one)(uv, sub, wp, vis, anchor, valid)
+        if dwx is None:
+            bands = jax.vmap(
+                lambda a, b, c, d, e, f: one(a, b, c, d, e, f, None)
+            )(uv, sub, wp, vis, anchor, valid)
+        else:
+            bands = jax.vmap(one)(uv, sub, wp, vis, anchor, valid, dwx)
         bands = jnp.pad(bands,
                         ((0, 0), (0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
         tv = anchor[:, 0] // ts
@@ -441,8 +458,9 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         return T, None
 
     T0 = jnp.zeros((2, 2, nt2, nt2, Pp, TS2, TS2), grid_pad.dtype)
-    T, _ = jax.lax.scan(group_body, T0,
-                        (uv_g, sub_g, wp_g, vis_g, anc_g, val_g))
+    xs = ((uv_g, sub_g, wp_g, vis_g, anc_g, val_g) if dw_g is None
+          else (uv_g, sub_g, wp_g, vis_g, anc_g, val_g, dw_g))
+    T, _ = jax.lax.scan(group_body, T0, xs)
 
     # Four dense shifted adds: colour (a, b) tiles form a contiguous image.
     ext = nt2 * TS2
