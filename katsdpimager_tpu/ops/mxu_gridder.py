@@ -593,9 +593,11 @@ class MxuGridder:
                 and jax.devices()[0].platform == "tpu")
 
     def grid(self, grid, kernel, weights_grid, plan: ChunkPlan,
-             vis_chunked=None):
+             vis_chunked=None, dw_chunks=None):
         """Accumulate the planned chunks; ``grid`` is (P, N, N) jnp.
-        ``vis_chunked`` overrides the plan's vis payload (same layout)."""
+        ``vis_chunked`` overrides the plan's vis payload (same layout);
+        ``dw_chunks`` (NC, Mc, P) provides precomputed per-vis density
+        weights (skips the random grid gather in the hot path)."""
         if plan.uv.shape[0] == 0:
             return grid
         vis_arr = (jnp.asarray(plan.vis) if vis_chunked is None
@@ -611,6 +613,7 @@ class MxuGridder:
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
                 jnp.asarray(plan.w_plane), vis_arr,
                 jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+                dw_chunks,
                 pixels=self.pixels, ts=self.rv)
             return gpad[:, :self.pixels, :self.pixels]
         pad_v, pad_u = self.rv, self.ru
