@@ -19,8 +19,12 @@ Sizes adapt to the attached backend (accelerator vs CPU smoke test).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Allow running as `python benchmarks/bench_suite.py` without install.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

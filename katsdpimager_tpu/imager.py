@@ -25,6 +25,17 @@ DEBUG_PRODUCTS = ["weights", "psf", "grid", "dirty", "model", "residuals",
                   "primary_beam"]
 
 
+def format_channel_filename(template: str, channel: int) -> str:
+    """Substitute the channel number: printf-style (``out%05d.fits``,
+    reference convention) or the ``%c`` placeholder."""
+    if "%c" in template:
+        return template.replace("%c", str(channel))
+    try:
+        return template % channel
+    except TypeError:
+        return template
+
+
 class FileWriter(frontend.Writer):
     """Writes FITS products to files derived from the output template."""
 
@@ -38,7 +49,7 @@ class FileWriter(frontend.Writer):
             template = getattr(self.args, "write_" + name, None)
             if template is None:
                 return None
-        return template.replace("%c", str(channel))
+        return format_channel_filename(template, channel)
 
     def needs_fits_image(self, name):
         return self._filename(name, 0) is not None

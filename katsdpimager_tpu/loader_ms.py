@@ -48,7 +48,22 @@ class LoaderMS(loader_core.LoaderBase):
                             help="Data description ID to image")
         parser.add_argument("--field", type=int, default=0,
                             help="Field to image")
+        parser.add_argument("--pol-frame", choices=["sky", "feed"],
+                            default="sky",
+                            help="Reference frame for polarization")
+        parser.add_argument("--uvw", choices=["casa", "strict"],
+                            default="casa",
+                            help="UVW sign convention (the casa default "
+                                 "negates the Measurement Set definition, "
+                                 "matching CASA and most imagers)")
         args = parser.parse_args(options)
+        self._strict_uvw = args.uvw == "strict"
+        self._feed_frame = args.pol_frame == "feed"
+        if self._feed_frame:
+            raise NotImplementedError(
+                "-i pol-frame=feed needs per-visibility parallactic angles "
+                "from antenna pointing (requires astropy); use sky frame or "
+                "pre-rotate the data")
         self._options = args
         self._main = tables.table(filename, ack=False)
         self._data_col = args.data
@@ -106,6 +121,10 @@ class LoaderMS(loader_core.LoaderBase):
             field = self._main.getcol("FIELD_ID", start, nrow)
             keep = (ant1 != ant2) & (field == self._field)
             uvw = np.asarray(self._main.getcol("UVW", start, nrow), np.float32)
+            if not self._strict_uvw:
+                # CASA convention: negate relative to the MS definition
+                # (reference loader_ms.py:452-453)
+                uvw = -uvw
             data = self._main.getcol(self._data_col, start, nrow)
             data = data[:, start_channel:stop_channel, :]  # (rows, C, Q)
             flag = self._main.getcol("FLAG", start, nrow)[

@@ -136,3 +136,23 @@ class TestLoaderMS:
 
         assert not LoaderMS.match("foo.h5")
         assert not LoaderMS.match("nonexistent.ms")
+
+
+def test_uvw_sign_convention(fake_ms):
+    """Default (casa) negates UVW relative to the MS column; strict keeps."""
+    from katsdpimager_tpu.loader_ms import LoaderMS
+
+    path, data, weight, flag = fake_ms
+    casa = LoaderMS(path, [])
+    strict = LoaderMS(path, ["--uvw=strict"])
+    uvw_casa = next(casa.data_iter(0, 1))["uvw"]
+    uvw_strict = next(strict.data_iter(0, 1))["uvw"]
+    np.testing.assert_allclose(uvw_casa, -uvw_strict)
+
+
+def test_pol_frame_feed_rejected(fake_ms):
+    from katsdpimager_tpu.loader_ms import LoaderMS
+
+    path, *_ = fake_ms
+    with pytest.raises(NotImplementedError):
+        LoaderMS(path, ["--pol-frame=feed"])
