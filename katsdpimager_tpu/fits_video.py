@@ -60,7 +60,14 @@ def main(argv=None) -> int:
         return [im, title]
 
     anim = animation.FuncAnimation(fig, update, frames=len(files))
-    anim.save(args.output, fps=args.fps, dpi=args.dpi)
+    writers = animation.writers.list()
+    if args.output.endswith(".gif") or "ffmpeg" not in writers:
+        if not args.output.endswith(".gif"):
+            parser.error("ffmpeg is not available; use a .gif output "
+                         f"(available writers: {writers})")
+        anim.save(args.output, fps=args.fps, dpi=args.dpi, writer="pillow")
+    else:
+        anim.save(args.output, fps=args.fps, dpi=args.dpi)
     plt.close(fig)
     print(f"wrote {args.output} ({len(files)} frames)")
     return 0

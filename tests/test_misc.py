@@ -215,3 +215,17 @@ class TestXfer:
         x = np.ones((3, 3), np.float32)
         np.testing.assert_array_equal(xfer.fetch(xfer.device_complex(x)),
                                       x.astype(np.complex64))
+
+
+class TestFitsVideo:
+    def test_gif_render(self, tmp_path):
+        from katsdpimager_tpu import fits_video
+
+        ip = make_ip()
+        rng = np.random.default_rng(2)
+        for ch in range(2):
+            img = rng.normal(size=(1, 64, 64)).astype(np.float32)
+            io.write_fits_image(img, ip, str(tmp_path / f"c{ch}.fits"))
+        out = str(tmp_path / "v.gif")
+        assert fits_video.main([str(tmp_path / "c*.fits"), out]) == 0
+        assert (tmp_path / "v.gif").stat().st_size > 0
