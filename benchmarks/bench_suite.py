@@ -136,9 +136,11 @@ def _dev_c(x):
 
 def bench_grid():
     g, plan, kernel, pixels, K, n = _grid_setup()
+    from katsdpimager_tpu import xfer
+
     wg = jnp.ones((1, pixels, pixels), jnp.float32)
     kern = _dev_c(kernel)
-    zero = jnp.zeros((1, pixels, pixels), jnp.complex64)
+    zero = xfer.device_zeros((1, pixels, pixels), jnp.complex64)
     visc = _dev_c(plan.vis)
 
     def run():
