@@ -37,12 +37,19 @@ different evaluation order; f32 sums reassociate).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: Matmul precision for gridding contractions.  TPU defaults to reduced
+#: (bf16-input) matmuls, which put ~1e-2 relative errors into dirty images;
+#: HIGHEST restores true f32.  Override with KTPU_MATMUL_PRECISION=default
+#: for speed experiments.
+_PRECISION = os.environ.get("KTPU_MATMUL_PRECISION", "highest")
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +246,7 @@ def grid_chunks_impl(grid, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
         Uc = jnp.conj(Utap)                             # (Mc, Ru+K)
         # (P, Rv+K, Ru+K) = V @ (sample * U) batched over P
         US = sample[:, :, None] * Uc[None, :, :]        # (P, Mc, Ru+K)
-        band = jnp.einsum("rm,pmc->prc", V, US,
+        band = jnp.einsum("rm,pmc->prc", V, US, precision=_PRECISION,
                           preferred_element_type=g.dtype)
         zero = jnp.zeros((), anchor.dtype)
         win = jax.lax.dynamic_slice(
@@ -442,6 +449,7 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             V = jnp.conj(Vt).T
             US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
             return jnp.einsum("rm,pmc->prc", V, US,
+                              precision=_PRECISION,
                               preferred_element_type=grid_pad.dtype)
 
         if dwx is None:
@@ -509,7 +517,7 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
             grid, (jnp.zeros((), anchor.dtype), anchor[0], anchor[1]),
             (Pp, rv + K, ru + K))
         # T[p, m, c] = sum_r Vt[m, r] win[p, r, c]
-        T = jnp.einsum("mr,prc->pmc", Vt, win,
+        T = jnp.einsum("mr,prc->pmc", Vt, win, precision=_PRECISION,
                        preferred_element_type=grid.dtype)
         predicted = jnp.sum(T * Utap[None, :, :], axis=-1)  # (P, Mc)
         return vis - wt * predicted.T.astype(vis.dtype)

@@ -79,9 +79,11 @@ def predict_subtract(lmn, flux, uv, sub_uv, w_plane, vis, weights,
 
     def block_predict(uvw_b):
         # MXU path: phase (B, S) then two real matmuls against the flux.
-        phase = (-2 * jnp.pi) * (uvw_b @ lmn.T)
-        re = jnp.cos(phase) @ fluxf
-        im = jnp.sin(phase) @ fluxf
+        # Highest precision: reduced-precision phases shift sources.
+        hp = jax.lax.Precision.HIGHEST
+        phase = (-2 * jnp.pi) * jnp.matmul(uvw_b, lmn.T, precision=hp)
+        re = jnp.matmul(jnp.cos(phase), fluxf, precision=hp)
+        im = jnp.matmul(jnp.sin(phase), fluxf, precision=hp)
         return re + 1j * im
 
     N = vis.shape[0]
