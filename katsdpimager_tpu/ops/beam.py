@@ -115,7 +115,7 @@ def _convolve(model, M, amplitude, *, pixels: int):
     u = jnp.fft.fftfreq(pixels)
     v = jnp.fft.fftfreq(pixels)
     coords = jnp.stack(jnp.meshgrid(u, v, indexing="ij"), axis=-1)
-    rotated = jnp.einsum("yxj,ij->yxi", coords, M)
+    rotated = jnp.einsum("yxj,ij->yxi", coords, M, precision="highest")
     r2 = jnp.sum(rotated ** 2, axis=-1)
     beam_ft = amplitude * jnp.exp(-2.0 * (jnp.pi ** 2) * r2)
     out = jnp.fft.ifft2(model_ft * beam_ft[None], axes=(-2, -1)).real

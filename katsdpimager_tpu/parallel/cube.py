@@ -264,7 +264,7 @@ def make_wave_restore(mesh: Mesh, cfg: CubeConfig):
         freqs = jnp.fft.fftfreq(N).astype(model.dtype)
         coords = jnp.stack(jnp.meshgrid(freqs, freqs, indexing="ij"),
                            axis=-1)
-        rot = jnp.einsum("yxj,ij->yxi", coords, beam_m)
+        rot = jnp.einsum("yxj,ij->yxi", coords, beam_m, precision="highest")
         r2 = jnp.sum(rot ** 2, axis=-1)
         det = jnp.abs(beam_m[0, 0] * beam_m[1, 1]
                       - beam_m[0, 1] * beam_m[1, 0])

@@ -82,14 +82,14 @@ def apply_mueller_weights(vis, weights, mueller):
     Returns (xvis (N, P) complex, xweights (N, P) float).
     """
     if mueller.ndim == 2:
-        xvis = jnp.einsum("pq,nq->np", mueller, vis)
+        xvis = jnp.einsum("pq,nq->np", mueller, vis, precision="highest")
         m2 = jnp.abs(mueller) ** 2  # (P, Q)
         inv_w = 1.0 / jnp.abs(weights)  # inf where weight == 0
         # 0 * inf -> 0: only accumulate variance through non-zero couplings.
         contrib = jnp.where(m2[None] > 0, m2[None] * inv_w[:, None, :], 0.0)
         var = jnp.sum(contrib, axis=-1)
     else:
-        xvis = jnp.einsum("npq,nq->np", mueller, vis)
+        xvis = jnp.einsum("npq,nq->np", mueller, vis, precision="highest")
         m2 = jnp.abs(mueller) ** 2  # (N, P, Q)
         inv_w = 1.0 / jnp.abs(weights)
         contrib = jnp.where(m2 > 0, m2 * inv_w[:, None, :], 0.0)
@@ -122,7 +122,7 @@ def rotated_mueller(from_circular, to_circular, feed_angle1, feed_angle2):
     rl = r1 * r2
     diag = jnp.stack([rr, rl, jnp.conj(rl), jnp.conj(rr)], axis=-1)  # (N, 4)
     mid = to_circular[None, :, :] * diag[:, :, None]  # (N, 4, Q)
-    return jnp.einsum("pc,ncq->npq", from_circular, mid)
+    return jnp.einsum("pc,ncq->npq", from_circular, mid, precision="highest")
 
 
 def _pack_keys(uv, sub_uv, w_plane, w_slice, invalid):
