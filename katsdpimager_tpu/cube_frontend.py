@@ -15,6 +15,10 @@ Deviations from the per-channel path, by design:
 - model prediction uses degridding (fully on device); direct prediction
   remains available in the per-channel path.
 
+``--subtract`` continuum subtraction runs on device inside the wave
+(:func:`..parallel.cube._predict_subtract_slices`) and ``--primary-beam``
+correction inside the sharded restore stage.
+
 Natural, uniform and robust weighting are all supported (the robust
 mean-weight pass runs on device).
 """
@@ -28,9 +32,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import frontend, parameters, polarization
+from . import frontend, parameters, polarization, sky_model
 from .ops import clean as clean_ops
-from .ops import mxu_gridder, wkernel
+from .ops import mxu_gridder, predict, wkernel
 from .parallel import cube, make_mesh
 from .parallel.multichannel import ChannelBatch, chunk_channel
 
@@ -132,6 +136,27 @@ def run_cube(args, dataset, writer) -> None:
     clean_mode = (clean_ops.CLEAN_I if args.clean_mode == "I"
                   else clean_ops.CLEAN_SUMSQ)
 
+    # Continuum-subtraction sky model (reference frontend.py:544-549)
+    if args.subtract == "auto":
+        subtract_model = dataset.sky_model()
+    elif args.subtract is not None:
+        subtract_model = sky_model.open_sky_model(args.subtract)
+    else:
+        subtract_model = None
+
+    # Primary-beam model (reference frontend.py:532-539)
+    beams = None
+    if getattr(args, "primary_beam", "none") in ("meerkat", "meerkat:1"):
+        from . import primary_beam
+
+        band = dataset.band()
+        if band is None:
+            raise ValueError("Data set does not specify a band, so "
+                             "--primary-beam cannot be used")
+        beams = primary_beam.meerkat_v1_beam(band)
+    pol_index = [polarization.STOKES_IQUV.index(p)
+                 for p in fixed_image_p.polarizations]
+
     wave_fn = None
     restore_fn = None
     cfg = None
@@ -178,6 +203,11 @@ def run_cube(args, dataset, writer) -> None:
                 threshold_sigma=args.threshold, clean_mode=clean_mode,
                 weight_type=args.weight_type,
                 robustness=args.robustness,
+                num_sources=(-(-len(subtract_model) // 8) * 8
+                             if subtract_model is not None else 0),
+                primary_beam=beams is not None,
+                primary_beam_cutoff=getattr(args, "primary_beam_cutoff",
+                                            0.1),
             )
             template = _plan_layout(reader, len(image_ps), template)
             # headroom for later waves
@@ -189,10 +219,45 @@ def run_cube(args, dataset, writer) -> None:
 
         batch = build_wave_batch(cfg, reader, image_ps, grid_ps, padded,
                                  start)
-        result = wave_fn(batch)
-        ms, beams = cube.fit_wave_beams(np.asarray(result.psf_core))
-        final = np.asarray(restore_fn(result.model, result.residual,
-                                      jnp.asarray(ms)))
+
+        sky = None
+        if subtract_model is not None:
+            C, Smax, Pp = len(padded), cfg.num_sources, cfg.num_pols
+            lmn_all = subtract_model.lmn(
+                dataset.phase_centre()).astype(np.float32)
+            ns = len(lmn_all)
+            sky_lmn = np.zeros((C, Smax, 3), np.float32)
+            sky_flux = np.zeros((C, Smax, Pp), np.float32)
+            scales = np.zeros((C, 3), np.float32)
+            for i, ch in enumerate(padded):
+                ip, gp = image_ps[ch - start], grid_ps[ch - start]
+                flux = subtract_model.flux_density(
+                    ip.wavelength)[:, pol_index]
+                taper_scale = float(ip.image_size * gp.fixed.oversample)
+                taper = (np.sinc(lmn_all[:, 0] / taper_scale)
+                         * np.sinc(lmn_all[:, 1] / taper_scale))
+                sky_lmn[i, :ns] = lmn_all
+                sky_flux[i, :ns] = (flux * taper[:, None]).astype(np.float32)
+                scales[i] = predict.uvw_scale_bias(ip, gp)
+            sky = cube.SkyBatch(jnp.asarray(sky_lmn),
+                                jnp.asarray(sky_flux), jnp.asarray(scales))
+
+        result = wave_fn(batch, sky) if sky is not None else wave_fn(batch)
+        ms, fitted_beams = cube.fit_wave_beams(np.asarray(result.psf_core))
+        restore_args = [result.model, result.residual, jnp.asarray(ms)]
+        pbeams = None
+        if beams is not None:
+            N = cfg.pixels
+            pbeams = np.empty((len(padded), N, N), np.float32)
+            for i, ch in enumerate(padded):
+                ip = image_ps[ch - start]
+                coords = (np.arange(N) - N / 2) * ip.pixel_size
+                from .units import C_M_PER_S
+
+                pbeams[i] = beams.sample_grid(
+                    coords, coords, C_M_PER_S / ip.wavelength)
+            restore_args.append(jnp.asarray(pbeams))
+        final = np.asarray(restore_fn(*restore_args))
         noise = np.asarray(result.noise)
         psf_peaks = np.asarray(result.psf_peak)
         for i, ch in enumerate(wave_channels):
@@ -203,10 +268,11 @@ def run_cube(args, dataset, writer) -> None:
                 writer.skip_channel(dataset, image_p, ch)
                 continue
             writer.write_fits_image("clean", "clean image", dataset,
-                                    final[i], image_p, ch, beams[i])
-            pbeam = np.ones(final[i].shape[-2:], final.dtype)
+                                    final[i], image_p, ch, fitted_beams[i])
+            pbeam = (pbeams[i] if pbeams is not None
+                     else np.ones(final[i].shape[-2:], final.dtype))
             peak = frontend.find_peak(final[i], pbeam, float(noise[i]))
-            totals = frontend.get_totals(image_p, final[i], beams[i])
+            totals = frontend.get_totals(image_p, final[i], fitted_beams[i])
             writer.statistics(
                 dataset, ch, major=cfg.majors, minor=-1, peak=peak,
                 totals=totals, noise=float(noise[i]), weights_noise=None,
@@ -215,5 +281,5 @@ def run_cube(args, dataset, writer) -> None:
                 compressed_vis=sum(
                     reader.len(rel, s) for s in range(w_slices)),
                 image_parameters=image_p, grid_parameters=grid_ps[rel],
-                clean_parameters=None, restoring_beam=beams[i])
+                clean_parameters=None, restoring_beam=fitted_beams[i])
         reader.close()

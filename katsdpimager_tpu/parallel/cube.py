@@ -64,6 +64,12 @@ class CubeConfig:
     #: "natural", "uniform" or "robust"
     weight_type: str = "natural"
     robustness: float = 0.0
+    #: static sky-model capacity for on-device continuum subtraction
+    #: (``--subtract``); 0 disables the subtraction stage entirely
+    num_sources: int = 0
+    #: apply primary-beam correction in the restore stage
+    primary_beam: bool = False
+    primary_beam_cutoff: float = 0.1
 
     @property
     def clean_cfg(self) -> clean_ops.CleanConfig:
@@ -72,6 +78,15 @@ class CubeConfig:
             border_pixels=self.border_pixels, patch_y=self.patch,
             patch_x=self.patch, mode=self.clean_mode,
             loop_gain=self.loop_gain)
+
+
+class SkyBatch(NamedTuple):
+    """Per-wave continuum-subtraction model (zero-padded to
+    ``cfg.num_sources``; zero-flux rows are no-ops)."""
+
+    lmn: jnp.ndarray         # (C, Smax, 3) float32 (l, m, n-1)
+    flux: jnp.ndarray        # (C, Smax, P) float32, sinc-tapered
+    uvw_scales: jnp.ndarray  # (C, 3) float32 (uv_scale, w_scale, w_bias)
 
 
 class WaveResult(NamedTuple):
@@ -127,6 +142,39 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
     return new_vis
 
 
+def _predict_subtract_slices(cfg: CubeConfig, sky_lmn, sky_flux, uv, sub_uv,
+                             w_plane, valid, weights, vis, uvw_scales,
+                             mid_w):
+    """On-device continuum subtraction: subtract the DFT of the sky model
+    from every slice's stored (pre-weighted) visibilities (reference
+    predict.py:419-439; per-channel equivalent ops/predict.py).
+
+    Coordinates are dequantized at bin centres exactly as the per-channel
+    predictor does, so the subtraction is consistent with the gridder."""
+    O = cfg.oversample  # noqa: E741
+    uv_scale, w_scale, w_bias = (uvw_scales[0], uvw_scales[1],
+                                 uvw_scales[2])
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(_, xs):
+        uv_s, sub_s, wp_s, val_s, wt_s, vis_s, w_mid = xs
+        u = (uv_s[..., 0].astype(jnp.float32) * O
+             + sub_s[..., 0].astype(jnp.float32) + 0.5) * uv_scale
+        v = (uv_s[..., 1].astype(jnp.float32) * O
+             + sub_s[..., 1].astype(jnp.float32) + 0.5) * uv_scale
+        w = wp_s.astype(jnp.float32) * w_scale + w_bias + w_mid
+        uvw = jnp.stack([u, v, w], axis=-1).reshape(-1, 3)  # (NC*Mc, 3)
+        phase = (-2 * jnp.pi) * jnp.matmul(uvw, sky_lmn.T, precision=hp)
+        re = jnp.matmul(jnp.cos(phase), sky_flux, precision=hp)
+        im = jnp.matmul(jnp.sin(phase), sky_flux, precision=hp)
+        pred = (re + 1j * im).reshape(vis_s.shape)
+        return None, vis_s - wt_s * pred * val_s[..., None]
+
+    _, new_vis = jax.lax.scan(
+        body, None, (uv, sub_uv, w_plane, valid, weights, vis, mid_w))
+    return new_vis
+
+
 def _clean_stage(cfg: CubeConfig, residual, model, psf_patch_arr):
     """One major cycle's CLEAN: reset tiles, derive the threshold on
     device, run minor cycles.  Returns (residual, model, noise)."""
@@ -162,7 +210,8 @@ def _clean_stage(cfg: CubeConfig, residual, model, psf_patch_arr):
 
 def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
                            mid_w, uv, sub_uv, w_plane, anchor, valid,
-                           weights, vis, vis_axis):
+                           weights, vis, vis_axis, sky_lmn=None,
+                           sky_flux=None, uvw_scales=None):
     N = cfg.pixels
     Pp = cfg.num_pols
     psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
@@ -208,6 +257,14 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
         psf, (0, half - cfg.psf_core // 2, half - cfg.psf_core // 2),
         (Pp, cfg.psf_core, cfg.psf_core))
 
+    # ---- continuum subtraction (once, up front: the major loop always
+    # degrids against the original ``vis``, so one subtraction here is
+    # equivalent to the reference's per-pass re-subtraction)
+    if sky_lmn is not None:
+        vis = _predict_subtract_slices(cfg, sky_lmn, sky_flux, uv, sub_uv,
+                                       w_plane, valid, weights, vis,
+                                       uvw_scales, mid_w)
+
     # ---- major cycles
     model = jnp.zeros((Pp, N, N), taper1d.dtype)
     noise = jnp.zeros((), taper1d.dtype)
@@ -224,31 +281,47 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
 
 
 def make_wave_image(mesh: Mesh, cfg: CubeConfig):
-    """Sharded jitted wave function: batch of C channels -> WaveResult."""
+    """Sharded jitted wave function: batch of C channels -> WaveResult.
+
+    When ``cfg.num_sources > 0`` the returned callable takes a second
+    :class:`SkyBatch` argument for on-device continuum subtraction."""
     shard_map = jax.shard_map
+    subtract = cfg.num_sources > 0
 
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
-                 anchor, valid, weights, vis):
+                 anchor, valid, weights, vis, *sky):
         def one(args):
+            if subtract:
+                core, (s_lmn, s_flux, s_scales) = args[:-3], args[-3:]
+                return _channel_cube_pipeline(
+                    cfg, *core, vis_axis="vis", sky_lmn=s_lmn,
+                    sky_flux=s_flux, uvw_scales=s_scales)
             return _channel_cube_pipeline(cfg, *args, vis_axis="vis")
 
         return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
-                              sub_uv, w_plane, anchor, valid, weights, vis))
+                              sub_uv, w_plane, anchor, valid, weights, vis)
+                             + sky)
 
     chan = P("chan")
     c5 = P("chan", None, "vis", None, None)
     c4 = P("chan", None, "vis", None)
     in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5, c5)
+    if subtract:
+        in_specs = in_specs + (chan, chan, chan)
     out_specs = (chan, chan, chan, chan, chan)
     fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
     jitted = jax.jit(fn)
 
-    def wave(batch) -> WaveResult:
-        return WaveResult(*jitted(
-            batch.kernel, batch.taper1d, batch.pixel_size, batch.mid_w,
-            batch.uv, batch.sub_uv, batch.w_plane, batch.anchor,
-            batch.valid, batch.weights, batch.vis))
+    def wave(batch, sky: SkyBatch = None) -> WaveResult:
+        args = (batch.kernel, batch.taper1d, batch.pixel_size, batch.mid_w,
+                batch.uv, batch.sub_uv, batch.w_plane, batch.anchor,
+                batch.valid, batch.weights, batch.vis)
+        if subtract:
+            if sky is None:
+                raise ValueError("cfg.num_sources > 0 requires a SkyBatch")
+            args = args + (sky.lmn, sky.flux, sky.uvw_scales)
+        return WaveResult(*jitted(*args))
 
     return wave
 
@@ -256,10 +329,23 @@ def make_wave_image(mesh: Mesh, cfg: CubeConfig):
 def make_wave_restore(mesh: Mesh, cfg: CubeConfig):
     """Sharded restore: convolve models with per-channel Gaussian beams and
     add residuals.  ``beam_m`` is (C, 2, 2): the covariance square root of
-    each channel's fitted beam in pixels."""
-    N = cfg.pixels
+    each channel's fitted beam in pixels.
 
-    def one(model, residual, beam_m):
+    With ``cfg.primary_beam`` the callable takes a fourth per-channel
+    power-beam argument (C, N, N) and divides it out first — model filled
+    with 0 and residual with NaN below the cutoff, matching the
+    per-channel path (reference frontend.py:586-605)."""
+    N = cfg.pixels
+    apply_pb = cfg.primary_beam
+    cutoff = cfg.primary_beam_cutoff
+
+    def one(model, residual, beam_m, *pbeam):
+        if apply_pb:
+            (pb,) = pbeam
+            ok = pb >= cutoff
+            safe = jnp.where(ok, pb, 1.0)[None]
+            model = jnp.where(ok[None], model / safe, 0.0)
+            residual = jnp.where(ok[None], residual / safe, jnp.nan)
         model_ft = jnp.fft.fft2(model, axes=(-2, -1))
         freqs = jnp.fft.fftfreq(N).astype(model.dtype)
         coords = jnp.stack(jnp.meshgrid(freqs, freqs, indexing="ij"),
@@ -272,9 +358,10 @@ def make_wave_restore(mesh: Mesh, cfg: CubeConfig):
         restored = jnp.fft.ifft2(model_ft * beam_ft[None], axes=(-2, -1)).real
         return restored.astype(model.dtype) + residual
 
+    nin = 4 if apply_pb else 3
     fn = jax.shard_map(
         jax.vmap(one), mesh=mesh,
-        in_specs=(P("chan"), P("chan"), P("chan")),
+        in_specs=(P("chan"),) * nin,
         out_specs=P("chan"), check_vma=False)
     return jax.jit(fn)
 

@@ -180,3 +180,55 @@ class TestCubePipelineCLI:
             assert stats["totals"]["I"] == pytest.approx(truth_total,
                                                          rel=0.25)
             assert stats["noise"] > 0
+
+    def test_cube_subtract_and_primary_beam(self, tmp_path):
+        """--subtract removes a source on device inside the wave and
+        --primary-beam correction is applied in the sharded restore."""
+        import json
+
+        from katsdpimager_tpu import io, pipeline
+
+        sim_path = str(tmp_path / "cube_sub.h5")
+        freqs = 856e6 + 214e6 * (np.arange(8) + 0.5) / 8
+        simulate.make_sim_dataset(sim_path, num_antennas=16, num_times=16,
+                                  num_channels=8, max_radius=800.0,
+                                  frequencies=freqs)
+        lsm = tmp_path / "lsm.txt"
+        # subtract the brightest off-centre source (1.5 Jy)
+        lsm.write_text("52.625 -35.1167 1.5 0 0 0\n")
+        outdir = str(tmp_path / "out_sub")
+        rc = pipeline.main([
+            sim_path, outdir, "--cube", "--pixels", "256",
+            "--kernel-width", "12", "--minor", "100", "--major", "2",
+            "--loop-gain", "0.25", "--no-thumbnails",
+            "--subtract", str(lsm), "--primary-beam", "meerkat",
+        ])
+        assert rc == 0
+        with open(f"{outdir}/state.json") as f:
+            state = json.load(f)
+        truth_total = sum(s.flux_iquv[0]
+                          for s in simulate.DEFAULT_SOURCES) - 1.5
+        for ch in range(8):
+            totals = state[f"stats/{ch}"]["totals"]["I"]
+            assert totals == pytest.approx(truth_total, rel=0.3), (ch, totals)
+
+        hdr, image = io.read_fits(f"{outdir}/image_00000_clean.fits")
+        image = np.asarray(image)[0, 0]
+        pixel_size = math.radians(abs(hdr["CDELT2"]))
+        ra0, dec0 = simulate.DEFAULT_PHASE_CENTRE
+        src = simulate.DEFAULT_SOURCES[1]
+        l, m, _ = simulate.lmn(np.array([src.ra]), np.array([src.dec]),
+                               ra0, dec0)
+        # FITS x axis is mirrored relative to l (RA---SIN, CDELT1 < 0)
+        px = int(round(128 - l[0] / pixel_size))
+        py = int(round(128 + m[0] / pixel_size))
+        patch = image[py - 2:py + 3, px - 2:px + 3]
+        assert np.nanmax(patch) < 0.3  # subtracted source is gone
+        assert image[128, 128] > 0.85  # beam-corrected centre source
+        # the 1.5 Jy source at 0.41 deg is still there, beam-corrected
+        s2 = simulate.DEFAULT_SOURCES[2]
+        l2, m2, _ = simulate.lmn(np.array([s2.ra]), np.array([s2.dec]),
+                                 ra0, dec0)
+        px2 = int(round(128 - l2[0] / pixel_size))
+        py2 = int(round(128 + m2[0] / pixel_size))
+        assert np.nanmax(image[py2 - 2:py2 + 3, px2 - 2:px2 + 3]) > 1.0
