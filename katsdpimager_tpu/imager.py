@@ -137,6 +137,13 @@ def main(argv=None) -> int:
             logger.warning("double precision on TPU is emulated and slow; "
                            "consider --host for the f64 oracle path")
 
+    if args.subtract and args.subtract != "auto":
+        from . import sky_model
+
+        try:
+            sky_model.open_sky_model(args.subtract)
+        except (OSError, ValueError) as exc:
+            parser.error(f"cannot open sky model {args.subtract}: {exc}")
     try:
         dataset = loader.load(args.input_file, args.input_option,
                               args.start_channel, args.stop_channel)

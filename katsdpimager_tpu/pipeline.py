@@ -186,8 +186,18 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
-    dataset = loader.load(args.input_file, args.input_option,
-                          args.start_channel, args.stop_channel)
+    if args.subtract and args.subtract != "auto":
+        from . import sky_model
+
+        try:
+            sky_model.open_sky_model(args.subtract)
+        except (OSError, ValueError) as exc:
+            parser.error(f"cannot open sky model {args.subtract}: {exc}")
+    try:
+        dataset = loader.load(args.input_file, args.input_option,
+                              args.start_channel, args.stop_channel)
+    except (FileNotFoundError, OSError) as exc:
+        parser.error(f"cannot open {args.input_file}: {exc}")
     try:
         writer = PipelineWriter(args.output_dir, args.prefix, args.thumbnails)
         if args.cube:
