@@ -206,6 +206,41 @@ def single_channel_step(cfg: MultiChannelConfig):
     return fn
 
 
+#: PartitionSpecs of the ChannelBatch fields, matching make_imaging_step's
+#: in_specs (channel axis over "chan"; the chunk axis NC over "vis").
+BATCH_SPECS = ChannelBatch(
+    kernel=P("chan"), taper1d=P("chan"), pixel_size=P("chan"),
+    mid_w=P("chan"),
+    uv=P("chan", None, "vis", None, None),
+    sub_uv=P("chan", None, "vis", None, None),
+    w_plane=P("chan", None, "vis", None),
+    anchor=P("chan", None, "vis", None),
+    valid=P("chan", None, "vis", None),
+    weights=P("chan", None, "vis", None, None),
+    vis=P("chan", None, "vis", None, None))
+
+
+def make_global_batch(mesh: Mesh, local: ChannelBatch) -> ChannelBatch:
+    """Assemble a globally-sharded ChannelBatch from per-process local data.
+
+    Multi-host entry point: each process passes the batch for ITS channels
+    (the ``chan`` axis is split across processes; the ``vis`` axis must lie
+    within a process).  On a single process this is just ``device_put``
+    with the step's input shardings, which also skips the jit-time
+    resharding of host arrays."""
+    from jax.sharding import NamedSharding
+
+    def dist(x, spec):
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(jnp.asarray(x), sharding)
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
+
+    return ChannelBatch(*(dist(x, spec)
+                          for x, spec in zip(local, BATCH_SPECS)))
+
+
 def chunk_channel(cfg: MultiChannelConfig, uv, sub_uv, w_plane, vis,
                   weights):
     """Plan one (channel, slice) into the padded chunk layout of the batch."""
