@@ -389,12 +389,25 @@ def _chunk_factors_fft(kernel_fft, kernel_width, uv, sub_uv, w_plane,
 def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                            plan_wp, plan_vis, plan_anchor, plan_valid,
                            dw_chunks=None, *, pixels: int, ts: int,
-                           group: int = 2048):
+                           group: int = 2048, assembly: str = "fft"):
     """Scan-free gridding: batched band einsum + 4-colour dense combine.
 
     ``grid_pad`` is (P, pixels + 4*ts, pixels + 4*ts) complex (zero-padded
     working copy; caller crops).  Anchors must be tile-aligned
     (:func:`plan_chunks_tiled`).
+
+    ``assembly`` selects how per-visibility kernel taps become bands:
+
+    - ``"fft"``: materialize shifted tap rows by batched iFFT
+      (:func:`_chunk_factors_fft`), then one band einsum.  Fast where the
+      backend's FFT is fast (CPU).
+    - ``"matmul"``: never materialize taps.  With ``G[k, t] = e^{2pi i
+      k t / L} / L`` (the iDFT matrix) the band is ``conj(G^T @ core @ G)``
+      where ``core[p, k, l] = sum_m Sv[m, k] conj(sample[p, m]) Su[m, l]``
+      and ``Su/Sv`` are the spectral kernel rows times the shift phase
+      ramps.  Three L-sized matmuls per chunk, all MXU — on TPU this beats
+      the iFFT path ~10x because XLA's TPU FFT runs at memory speed while
+      the MXU is nearly idle.
     """
     K = kernel.shape[-1]
     Np = pixels
@@ -407,9 +420,18 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     nt2 = -(-ntv // 2) + 1            # same-colour tiles per axis
 
     L = _fft_pad_len(TSK)
+    assert L <= TS2, "ts must be a power-of-two multiple covering K"
     kernel_fft = jnp.fft.fft(
         jnp.pad(kernel, ((0, 0), (0, 0), (0, L - K))), axis=-1
     ).astype(kernel.dtype)
+    W, O = kernel.shape[0], kernel.shape[1]
+    kflat = kernel_fft.reshape(W * O, L)
+    uv_bias = (K - 1) // 2 - Np // 2
+    if assembly == "matmul":
+        tk = np.arange(L)
+        G = jnp.asarray(
+            np.exp(2j * np.pi * np.outer(tk, tk) / L).astype(np.complex64)
+            / L)
 
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC
@@ -435,31 +457,54 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         else:
             uv, sub, wp, vis, anchor, valid, dwx = xs
 
-        def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
-            Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv_c, sub_c, wp_c,
-                                          anc_c, val_c, pixels=Np, rv=ts,
-                                          ru=ts)
+        def sample_of(uv_c, vis_c, val_c, dw_c):
             if dw_c is None:
                 uq = uv_c[:, 0] + half
                 vq = uv_c[:, 1] + half
                 dw = weights_grid[:, vq, uq]
             else:
                 dw = dw_c.T
-            sample = vis_c.T * dw
+            return vis_c.T * dw * val_c[None, :]
+
+        def one_fft(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
+            Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv_c, sub_c, wp_c,
+                                          anc_c, val_c, pixels=Np, rv=ts,
+                                          ru=ts)
+            sample = sample_of(uv_c, vis_c, val_c, dw_c)
             V = jnp.conj(Vt).T
             US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
-            return jnp.einsum("rm,pmc->prc", V, US,
+            band = jnp.einsum("rm,pmc->prc", V, US,
                               precision=_PRECISION,
                               preferred_element_type=grid_pad.dtype)
+            return jnp.pad(band, ((0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
 
+        def one_matmul(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
+            u0r = (uv_c[:, 0] - uv_bias - anc_c[1]).astype(jnp.float32)
+            v0r = (uv_c[:, 1] - uv_bias - anc_c[0]).astype(jnp.float32)
+            spec_u = kflat[wp_c * O + sub_c[:, 0]]   # (Mc, L)
+            spec_v = kflat[wp_c * O + sub_c[:, 1]]
+            freqs = jnp.arange(L, dtype=jnp.float32) * (2 * np.pi / L)
+            pu = -freqs[None, :] * u0r[:, None]
+            pv = -freqs[None, :] * v0r[:, None]
+            Su = spec_u * jax.lax.complex(jnp.cos(pu), jnp.sin(pu))
+            Sv = spec_v * jax.lax.complex(jnp.cos(pv), jnp.sin(pv))
+            sample = sample_of(uv_c, vis_c, val_c, dw_c)
+            core = jnp.einsum("mk,pm,ml->pkl", Sv, jnp.conj(sample), Su,
+                              precision=_PRECISION,
+                              preferred_element_type=grid_pad.dtype)
+            band = jnp.einsum("kr,pkl,lc->prc", G, core, G,
+                              precision=_PRECISION,
+                              preferred_element_type=grid_pad.dtype)
+            band = jnp.conj(band)
+            return jnp.pad(band, ((0, 0), (0, TS2 - L), (0, TS2 - L)))
+
+        one = one_matmul if assembly == "matmul" else one_fft
         if dwx is None:
             bands = jax.vmap(
                 lambda a, b, c, d, e, f: one(a, b, c, d, e, f, None)
             )(uv, sub, wp, vis, anchor, valid)
         else:
             bands = jax.vmap(one)(uv, sub, wp, vis, anchor, valid, dwx)
-        bands = jnp.pad(bands,
-                        ((0, 0), (0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
         tv = anchor[:, 0] // ts
         tu = anchor[:, 1] // ts
         T = T.at[tv & 1, tu & 1, tv >> 1, tu >> 1].add(bands)
@@ -489,17 +534,31 @@ def dense_pad_size(pixels: int, ts: int) -> int:
 
 
 grid_chunks_dense = partial(jax.jit,
-                            static_argnames=("pixels", "ts", "group"),
+                            static_argnames=("pixels", "ts", "group",
+                                             "assembly"),
                             donate_argnums=(0,))(grid_chunks_dense_impl)
+
+
+def default_assembly() -> str:
+    """Band-assembly default: all-matmul on TPU (the MXU is idle and the
+    TPU FFT is memory-bound), iFFT materialization elsewhere.  Override
+    with KTPU_GRID_ASSEMBLY=fft|matmul."""
+    env = os.environ.get("KTPU_GRID_ASSEMBLY")
+    if env in ("fft", "matmul"):
+        return env
+    return "matmul" if jax.devices()[0].platform == "tpu" else "fft"
 
 
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
                        plan_vis, plan_anchor, plan_valid, *, pixels: int,
-                       rv: int, ru: int, group: int = 512):
+                       rv: int, ru: int, group: int = 512,
+                       assembly: str = "fft"):
     """Predict + subtract for all chunks; returns updated (C, Mc, P) vis.
 
     Chunk windows are read-only, so chunks evaluate in parallel (vmap)
-    within memory-bounded groups.
+    within memory-bounded groups.  ``assembly`` as in
+    :func:`grid_chunks_dense_impl`: ``"matmul"`` evaluates the transposed
+    spectral form ``predicted = (Sv (G win G^T)) . Su`` with no iFFT.
     """
     K = kernel.shape[-1]
     Np = pixels
@@ -509,18 +568,53 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     kernel_fft = jnp.fft.fft(
         jnp.pad(kernel, ((0, 0), (0, 0), (0, L - K))), axis=-1
     ).astype(kernel.dtype)
+    W, O = kernel.shape[0], kernel.shape[1]
+    kflat = kernel_fft.reshape(W * O, L)
+    uv_bias = (K - 1) // 2 - Np // 2
+    if assembly == "matmul":
+        tk = np.arange(L)
+        G = jnp.asarray(
+            np.exp(2j * np.pi * np.outer(tk, tk) / L).astype(np.complex64)
+            / L)
+        Gr = G[:, :rv + K]
+        Gc = G[:, :ru + K]
 
-    def one(uv, sub, wp, wt, vis, anchor, valid):
-        Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv, sub, wp, anchor,
-                                      valid, pixels=Np, rv=rv, ru=ru)
-        win = jax.lax.dynamic_slice(
+    def window(anchor):
+        return jax.lax.dynamic_slice(
             grid, (jnp.zeros((), anchor.dtype), anchor[0], anchor[1]),
             (Pp, rv + K, ru + K))
+
+    def one_fft(uv, sub, wp, wt, vis, anchor, valid):
+        Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv, sub, wp, anchor,
+                                      valid, pixels=Np, rv=rv, ru=ru)
+        win = window(anchor)
         # T[p, m, c] = sum_r Vt[m, r] win[p, r, c]
         T = jnp.einsum("mr,prc->pmc", Vt, win, precision=_PRECISION,
                        preferred_element_type=grid.dtype)
         predicted = jnp.sum(T * Utap[None, :, :], axis=-1)  # (P, Mc)
         return vis - wt * predicted.T.astype(vis.dtype)
+
+    def one_matmul(uv, sub, wp, wt, vis, anchor, valid):
+        u0r = (uv[:, 0] - uv_bias - anchor[1]).astype(jnp.float32)
+        v0r = (uv[:, 1] - uv_bias - anchor[0]).astype(jnp.float32)
+        spec_u = kflat[wp * O + sub[:, 0]]   # (Mc, L)
+        spec_v = kflat[wp * O + sub[:, 1]]
+        freqs = jnp.arange(L, dtype=jnp.float32) * (2 * np.pi / L)
+        pu = -freqs[None, :] * u0r[:, None]
+        pv = -freqs[None, :] * v0r[:, None]
+        Su = spec_u * jax.lax.complex(jnp.cos(pu), jnp.sin(pu))
+        Sv = spec_v * jax.lax.complex(jnp.cos(pv), jnp.sin(pv))
+        win = window(anchor)
+        wspec = jnp.einsum("kr,prc,lc->pkl", Gr, win, Gc,
+                           precision=_PRECISION,
+                           preferred_element_type=grid.dtype)
+        T = jnp.einsum("mk,pkl->pml", Sv, wspec, precision=_PRECISION,
+                       preferred_element_type=grid.dtype)
+        predicted = jnp.sum(T * Su[None, :, :], axis=-1)  # (P, Mc)
+        predicted = predicted * valid[None, :]
+        return vis - wt * predicted.T.astype(vis.dtype)
+
+    one = one_matmul if assembly == "matmul" else one_fft
 
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC
@@ -535,8 +629,10 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     return new_vis.reshape((n_groups * group,) + plan_vis.shape[1:])[:NC]
 
 
-degrid_chunks = partial(jax.jit,
-                        static_argnames=("pixels", "rv", "ru"))(degrid_chunks_impl)
+degrid_chunks = partial(
+    jax.jit,
+    static_argnames=("pixels", "rv", "ru", "group",
+                     "assembly"))(degrid_chunks_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +718,8 @@ class MxuGridder:
                 jnp.asarray(plan.w_plane), vis_arr,
                 jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
                 dw_chunks,
-                pixels=self.pixels, ts=self.rv)
+                pixels=self.pixels, ts=self.rv,
+                assembly=default_assembly())
             return gpad[:, :self.pixels, :self.pixels]
         pad_v, pad_u = self.rv, self.ru
         gpad = xfer.device_pad(grid, pad_v, pad_u)
@@ -657,7 +754,7 @@ class MxuGridder:
             return degrid_chunks_pallas(*args, pixels=self.pixels,
                                         rv=self.rv, ru=self.ru)
         return degrid_chunks(*args, pixels=self.pixels, rv=self.rv,
-                             ru=self.ru)
+                             ru=self.ru, assembly=default_assembly())
 
     def chunk_vis(self, plan: ChunkPlan, vis):
         """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout.

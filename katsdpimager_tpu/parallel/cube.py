@@ -109,7 +109,7 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
         gpad = jnp.zeros((Pp, ext, ext), jnp.complex64)
         gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
-            pixels=N, ts=cfg.rv)
+            pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
         grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
                                    pixels=N)
@@ -133,7 +133,8 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
         gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
         new_vis = mxu_gridder.degrid_chunks_impl(
             gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
-            pixels=N, rv=cfg.rv, ru=cfg.ru)
+            pixels=N, rv=cfg.rv, ru=cfg.ru,
+            assembly=mxu_gridder.default_assembly())
         return None, new_vis
 
     _, new_vis = jax.lax.scan(

@@ -115,7 +115,7 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
         gpad = jnp.zeros((Pp, ext, ext), vis.dtype)
         gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
-            pixels=N, ts=cfg.rv)
+            pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
         grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
                                    pixels=N)

@@ -70,6 +70,33 @@ def test_degrid_matches_oracle():
     np.testing.assert_allclose(out, expected, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("assembly", ["fft", "matmul"])
+def test_degrid_assembly_matches_oracle(assembly):
+    rng = np.random.default_rng(29)
+    kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng)
+    pixels = wg.shape[-1]
+    pols = vis.shape[1]
+    grid = (rng.normal(size=(pols, pixels, pixels))
+            + 1j * rng.normal(size=(pols, pixels, pixels))).astype(np.complex64)
+
+    expected = gridder.degrid_vis_reference(
+        grid, kernel, uv, sub_uv, w_plane, weights, vis)
+
+    rv = ru = 32
+    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=kernel.shape[-1],
+                               num_pols=pols, rv=rv, ru=ru, mc=64)
+    plan = g.plan(uv, sub_uv, w_plane, vis, weights)
+    gpad = jnp.pad(jnp.asarray(grid), ((0, 0), (0, rv), (0, ru)))
+    out_chunked = mxu_gridder.degrid_chunks_impl(
+        gpad, jnp.asarray(kernel), jnp.asarray(plan.uv),
+        jnp.asarray(plan.sub_uv), jnp.asarray(plan.w_plane),
+        jnp.asarray(plan.weights), jnp.asarray(plan.vis),
+        jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+        pixels=pixels, rv=rv, ru=ru, assembly=assembly)
+    out = g.unchunk_vis(plan, np.asarray(out_chunked), len(vis))
+    np.testing.assert_allclose(out, expected, rtol=2e-3, atol=2e-3)
+
+
 def test_empty():
     g = mxu_gridder.MxuGridder(pixels=64, kernel_width=8, num_pols=1)
     plan = g.plan(np.zeros((0, 2), np.int16), np.zeros((0, 2), np.int16),
@@ -107,7 +134,8 @@ def test_chunk_plan_invariants():
 
 
 @pytest.mark.parametrize("clustered", [True, False])
-def test_dense_grid_matches_oracle(clustered):
+@pytest.mark.parametrize("assembly", ["fft", "matmul"])
+def test_dense_grid_matches_oracle(clustered, assembly):
     rng = np.random.default_rng(19)
     kernel, uv, sub_uv, w_plane, vis, _wt, wg = random_case(
         rng, clustered=clustered, K=12, n=600)
@@ -131,7 +159,7 @@ def test_dense_grid_matches_oracle(clustered):
         jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
         jnp.asarray(plan.w_plane), jnp.asarray(plan.vis),
         jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
-        pixels=pixels, ts=ts, group=64)
+        pixels=pixels, ts=ts, group=64, assembly=assembly)
     out = np.asarray(out)[:, :pixels, :pixels]
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
     # nothing may leak outside the nominal grid... (it can live in the pad,
