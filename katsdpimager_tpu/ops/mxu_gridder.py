@@ -345,6 +345,68 @@ def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
 
 
 
+@partial(jax.jit, static_argnames=("pixels", "kernel_width", "ts", "mc",
+                                   "nc"))
+def plan_chunks_tiled_device(uv, sub_uv, w_plane, vis, weights, *,
+                             pixels: int, kernel_width: int, ts: int,
+                             mc: int, nc: int):
+    """Device-side (jittable) equivalent of :func:`plan_chunks_tiled`.
+
+    Produces the identical chunk layout — same stable sort by tile key,
+    same chunk/slot assignment — entirely as XLA ops (sort, cumsum-based
+    segmentation, scatter), so cube waves need no host planning pass.
+    ``nc`` is the static chunk capacity; chunks beyond it are dropped
+    (the returned ``n_chunks`` lets the caller validate sizing).
+
+    Returns a dict with the :class:`ChunkPlan` array fields (uv, sub_uv,
+    w_plane, vis, weights, anchor, valid, order, chunk_of, slot_of) plus
+    ``n_chunks``.
+    """
+    K = kernel_width
+    n = uv.shape[0]
+    P = vis.shape[1]
+    uv_bias = (K - 1) // 2 - pixels // 2
+
+    u0 = uv[:, 0].astype(jnp.int32) - uv_bias
+    v0 = uv[:, 1].astype(jnp.int32) - uv_bias
+    tv = v0 // ts
+    tu = u0 // ts
+    ntu = -(-pixels // ts) + 1
+    key = tv * ntu + tu
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    # start index of each element's group: cummax of start positions
+    start = jax.lax.cummax(jnp.where(new_group, idx, 0))
+    local = idx - start
+    new_chunk = new_group | (local % mc == 0)
+    chunk_of = jnp.cumsum(new_chunk.astype(jnp.int32)) - 1
+    slot_of = local % mc
+    n_chunks = chunk_of[-1] + 1 if n else jnp.zeros((), jnp.int32)
+
+    def scat(shape, dtype, values):
+        out = jnp.zeros(shape, dtype)
+        return out.at[chunk_of, slot_of].set(values, mode="drop")
+
+    c_uv = scat((nc, mc, 2), jnp.int32, uv[order].astype(jnp.int32))
+    c_sub = scat((nc, mc, 2), jnp.int32, sub_uv[order].astype(jnp.int32))
+    c_wp = scat((nc, mc), jnp.int32, w_plane[order].astype(jnp.int32))
+    c_vis = scat((nc, mc, P), vis.dtype, vis[order])
+    c_wt = scat((nc, mc, P), weights.dtype, weights[order])
+    valid = scat((nc, mc), jnp.bool_, jnp.ones((n,), bool))
+    anchor = jnp.zeros((nc, 2), jnp.int32)
+    anchor = anchor.at[chunk_of, 0].set((tv[order] * ts).astype(jnp.int32),
+                                        mode="drop")
+    anchor = anchor.at[chunk_of, 1].set((tu[order] * ts).astype(jnp.int32),
+                                        mode="drop")
+    return dict(uv=c_uv, sub_uv=c_sub, w_plane=c_wp, vis=c_vis,
+                weights=c_wt, anchor=anchor, valid=valid, order=order,
+                chunk_of=chunk_of, slot_of=slot_of, n_chunks=n_chunks)
+
+
 def _fft_pad_len(tsk: int) -> int:
     """FFT length for spectral factor assembly: next power of two >= tsk."""
     L = 1

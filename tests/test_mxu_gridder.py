@@ -70,6 +70,35 @@ def test_degrid_matches_oracle():
     np.testing.assert_allclose(out, expected, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("clustered", [True, False])
+def test_device_plan_matches_host(clustered):
+    """plan_chunks_tiled_device reproduces the host plan bit-for-bit."""
+    rng = np.random.default_rng(31)
+    kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(
+        rng, clustered=clustered, K=12, n=777)
+    pixels = wg.shape[-1]
+    ts, mc = 32, 64
+    host = mxu_gridder.plan_chunks_tiled(
+        uv, sub_uv, w_plane, vis, weights, pixels=pixels,
+        kernel_width=kernel.shape[-1], ts=ts, mc=mc)
+    nc = host.uv.shape[0]
+    dev = mxu_gridder.plan_chunks_tiled_device(
+        jnp.asarray(uv.astype(np.int32)), jnp.asarray(sub_uv.astype(np.int32)),
+        jnp.asarray(w_plane.astype(np.int32)), jnp.asarray(vis),
+        jnp.asarray(weights), pixels=pixels,
+        kernel_width=kernel.shape[-1], ts=ts, mc=mc, nc=nc)
+    assert int(dev["n_chunks"]) == int(host.valid.any(axis=1).sum())
+    np.testing.assert_array_equal(np.asarray(dev["uv"]), host.uv)
+    np.testing.assert_array_equal(np.asarray(dev["sub_uv"]), host.sub_uv)
+    np.testing.assert_array_equal(np.asarray(dev["w_plane"]), host.w_plane)
+    np.testing.assert_array_equal(np.asarray(dev["valid"]), host.valid)
+    np.testing.assert_array_equal(np.asarray(dev["vis"]), host.vis)
+    np.testing.assert_array_equal(np.asarray(dev["weights"]), host.weights)
+    # anchors agree on populated chunks (host leaves empty ones zero too)
+    np.testing.assert_array_equal(np.asarray(dev["anchor"]), host.anchor)
+    np.testing.assert_array_equal(np.asarray(dev["order"]), host.order)
+
+
 @pytest.mark.parametrize("assembly", ["fft", "matmul"])
 def test_degrid_assembly_matches_oracle(assembly):
     rng = np.random.default_rng(29)
