@@ -10,8 +10,11 @@ the only host work in between.
 
 Deviations from the per-channel path, by design:
 
-- the CLEAN PSF patch is a fixed configured size (``--cube-psf-patch``)
-  instead of per-channel auto-sizing (static shapes across the wave);
+- the CLEAN PSF patch is auto-sized per WAVE (not per channel): a
+  phase-A jit measures the PSFs, the host snaps the largest support to a
+  bucket, and a phase-B jit compiled for that bucket runs the major
+  cycles.  ``--cube-psf-patch N`` forces a fixed size and runs the
+  single-jit wave instead;
 - model prediction uses degridding (fully on device); direct prediction
   remains available in the per-channel path.
 
@@ -64,6 +67,19 @@ def _plan_layout(reader, num_channels: int, cfg_template: dict) -> dict:
         nc *= 2
     cfg_template["chunks_per_slice"] = nc
     return cfg_template
+
+
+#: Snap auto-sized PSF patches to a few buckets so phase-B waves compile
+#: at most once per bucket.
+_PATCH_BUCKETS = (17, 33, 65, 129, 257, 513)
+
+
+def _patch_bucket(need: int, pixels: int) -> int:
+    cap = pixels - 1 if pixels % 2 == 0 else pixels
+    for b in _PATCH_BUCKETS:
+        if b >= need and b <= cap:
+            return b
+    return min(cap, _PATCH_BUCKETS[-1])
 
 
 def build_wave_batch(cfg: cube.CubeConfig, reader, image_ps, grid_ps,
@@ -158,8 +174,12 @@ def run_cube(args, dataset, writer) -> None:
                  for p in fixed_image_p.polarizations]
 
     wave_fn = None
+    psf_fn = None
     restore_fn = None
     cfg = None
+    #: 0 requests per-wave auto-sizing (reference per-channel semantics)
+    auto_patch = getattr(args, "cube_psf_patch", 65) == 0
+    clean_fns = {}   # patch size -> compiled phase-B wave
     channels = list(range(args.start_channel, args.stop_channel))
     for wave_start in range(0, len(channels), wave_size):
         wave_channels = channels[wave_start:wave_start + wave_size]
@@ -196,7 +216,7 @@ def run_cube(args, dataset, writer) -> None:
                 w_planes=w_planes, w_slices=w_slices,
                 chunk_size=256, rv=64, ru=64,
                 majors=args.major, minor=args.minor,
-                patch=getattr(args, "cube_psf_patch", 65),
+                patch=(getattr(args, "cube_psf_patch", 65) or 65),
                 psf_core=64,
                 border_pixels=round(args.border * image_ps[0].pixels),
                 loop_gain=args.loop_gain, major_gain=args.major_gain,
@@ -213,7 +233,10 @@ def run_cube(args, dataset, writer) -> None:
             # headroom for later waves
             template["chunks_per_slice"] *= 2
             cfg = cube.CubeConfig(**template)
-            wave_fn = cube.make_wave_image(mesh, cfg)
+            if auto_patch:
+                psf_fn = cube.make_wave_psf(mesh, cfg)
+            else:
+                wave_fn = cube.make_wave_image(mesh, cfg)
             restore_fn = cube.make_wave_restore(mesh, cfg)
             logger.info("Cube config: %s", cfg)
 
@@ -242,8 +265,33 @@ def run_cube(args, dataset, writer) -> None:
             sky = cube.SkyBatch(jnp.asarray(sky_lmn),
                                 jnp.asarray(sky_flux), jnp.asarray(scales))
 
-        result = wave_fn(batch, sky) if sky is not None else wave_fn(batch)
-        ms, fitted_beams = cube.fit_wave_beams(np.asarray(result.psf_core))
+        if auto_patch:
+            psf_res = psf_fn(batch)
+            psf_np = np.asarray(psf_res.psf)
+            boxes = [clean_ops.psf_patch(psf_np[i], args.psf_cutoff,
+                                         args.psf_limit)
+                     for i in range(len(wave_channels))]
+            need = max(max(b[1], b[2]) for b in boxes)
+            patch = _patch_bucket(need, cfg.pixels)
+            logger.info("Wave %s: PSF patch %dx%d (need %d)",
+                        wave_channels, patch, patch, need)
+            if patch not in clean_fns:
+                clean_fns[patch] = cube.make_wave_clean(mesh, cfg, patch)
+            residual, model, noise_j = clean_fns[patch](batch, psf_res, sky)
+            half = cfg.pixels // 2
+            c0 = half - cfg.psf_core // 2
+            cores = psf_np[:, :, c0:c0 + cfg.psf_core,
+                           c0:c0 + cfg.psf_core]
+            ms, fitted_beams = cube.fit_wave_beams(cores)
+            result = cube.WaveResult(residual, model, jnp.asarray(cores),
+                                     noise_j, psf_res.psf_peak)
+            patch_used = patch
+        else:
+            result = (wave_fn(batch, sky) if sky is not None
+                      else wave_fn(batch))
+            ms, fitted_beams = cube.fit_wave_beams(
+                np.asarray(result.psf_core))
+            patch_used = cfg.patch
         restore_args = [result.model, result.residual, jnp.asarray(ms)]
         pbeams = None
         if beams is not None:
@@ -277,7 +325,7 @@ def run_cube(args, dataset, writer) -> None:
                 dataset, ch, major=cfg.majors, minor=-1, peak=peak,
                 totals=totals, noise=float(noise[i]), weights_noise=None,
                 normalized_noise=1.0,
-                psf_patch_size=(cfg.patch, cfg.patch),
+                psf_patch_size=(patch_used, patch_used),
                 compressed_vis=sum(
                     reader.len(rel, s) for s in range(w_slices)),
                 image_parameters=image_p, grid_parameters=grid_ps[rel],

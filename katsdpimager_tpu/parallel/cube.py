@@ -209,14 +209,12 @@ def _clean_stage(cfg: CubeConfig, residual, model, psf_patch_arr):
     return clean_ops.residual_image(ccfg, state), state.model, noise
 
 
-def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
-                           mid_w, uv, sub_uv, w_plane, anchor, valid,
-                           weights, vis, vis_axis, sky_lmn=None,
-                           sky_flux=None, uvw_scales=None):
+def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
+                         mid_w, uv, sub_uv, w_plane, anchor, valid,
+                         weights, psum):
+    """Imaging weights + normalized PSF for one channel (device)."""
     N = cfg.pixels
     Pp = cfg.num_pols
-    psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
-                                                          axis_name=vis_axis)
     half = N // 2
 
     # ---- imaging weights (natural / uniform / robust; Briggs formulas,
@@ -241,22 +239,26 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
     else:
         density = jnp.ones((Pp, N, N), jnp.float32)
 
-    grid_fn = partial(_grid_slices, cfg, kernel, density, uv, sub_uv,
-                      w_plane, anchor, valid)
-
     # ---- PSF: grid the weights as "visibilities"
-    psf = grid_fn(weights.astype(jnp.complex64) * valid[..., None],
-                  taper1d, pixel_size, mid_w, psum)
+    psf = _grid_slices(cfg, kernel, density, uv, sub_uv, w_plane, anchor,
+                       valid, weights.astype(jnp.complex64)
+                       * valid[..., None], taper1d, pixel_size, mid_w, psum)
     psf_peak = psf[:, half, half]
     scale = jnp.where(psf_peak != 0,
                       1.0 / jnp.where(psf_peak != 0, psf_peak, 1.0), 0.0)
     psf = psf * scale[:, None, None]
-    patch = jax.lax.dynamic_slice(
-        psf, (0, half - cfg.patch // 2, half - cfg.patch // 2),
-        (Pp, cfg.patch, cfg.patch))
-    core = jax.lax.dynamic_slice(
-        psf, (0, half - cfg.psf_core // 2, half - cfg.psf_core // 2),
-        (Pp, cfg.psf_core, cfg.psf_core))
+    return density, psf, psf_peak, scale
+
+
+def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
+                    uv, sub_uv, w_plane, anchor, valid, weights, vis,
+                    density, scale, patch, psum, sky_lmn=None,
+                    sky_flux=None, uvw_scales=None):
+    """Major cycles for one channel given density weights and a PSF patch."""
+    N = cfg.pixels
+    Pp = cfg.num_pols
+    grid_fn = partial(_grid_slices, cfg, kernel, density, uv, sub_uv,
+                      w_plane, anchor, valid)
 
     # ---- continuum subtraction (once, up front: the major loop always
     # degrids against the original ``vis``, so one subtraction here is
@@ -270,6 +272,7 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
     model = jnp.zeros((Pp, N, N), taper1d.dtype)
     noise = jnp.zeros((), taper1d.dtype)
     cur_vis = vis
+    residual = jnp.zeros((Pp, N, N), taper1d.dtype)
     for major in range(cfg.majors):
         if major > 0:
             cur_vis = _degrid_slices(cfg, kernel, model, uv, sub_uv,
@@ -278,6 +281,33 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
         dirty = grid_fn(cur_vis, taper1d, pixel_size, mid_w, psum)
         dirty = dirty * scale[:, None, None]
         residual, model, noise = _clean_stage(cfg, dirty, model, patch)
+    return residual, model, noise
+
+
+def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
+                           mid_w, uv, sub_uv, w_plane, anchor, valid,
+                           weights, vis, vis_axis, sky_lmn=None,
+                           sky_flux=None, uvw_scales=None):
+    N = cfg.pixels
+    Pp = cfg.num_pols
+    psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
+                                                          axis_name=vis_axis)
+    half = N // 2
+
+    density, psf, psf_peak, scale = _channel_density_psf(
+        cfg, kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+        anchor, valid, weights, psum)
+    patch = jax.lax.dynamic_slice(
+        psf, (0, half - cfg.patch // 2, half - cfg.patch // 2),
+        (Pp, cfg.patch, cfg.patch))
+    core = jax.lax.dynamic_slice(
+        psf, (0, half - cfg.psf_core // 2, half - cfg.psf_core // 2),
+        (Pp, cfg.psf_core, cfg.psf_core))
+
+    residual, model, noise = _channel_majors(
+        cfg, kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+        anchor, valid, weights, vis, density, scale, patch, psum,
+        sky_lmn=sky_lmn, sky_flux=sky_flux, uvw_scales=uvw_scales)
     return residual, model, core, noise, psf_peak
 
 
@@ -323,6 +353,108 @@ def make_wave_image(mesh: Mesh, cfg: CubeConfig):
                 raise ValueError("cfg.num_sources > 0 requires a SkyBatch")
             args = args + (sky.lmn, sky.flux, sky.uvw_scales)
         return WaveResult(*jitted(*args))
+
+    return wave
+
+
+class PsfWaveResult(NamedTuple):
+    density: jnp.ndarray   # (C, P, N, N) imaging-weight density
+    psf: jnp.ndarray       # (C, P, N, N), peak-normalized
+    psf_peak: jnp.ndarray  # (C, P)
+    scale: jnp.ndarray     # (C, P)
+
+
+def make_wave_psf(mesh: Mesh, cfg: CubeConfig):
+    """Phase-A wave: density weights + full normalized PSF per channel.
+
+    With :func:`make_wave_clean` this forms the auto-patch cube pipeline:
+    the host inspects the PSFs, picks the CLEAN patch size for the wave
+    (reference clean.py:894-936 semantics via ops.clean.psf_patch), and
+    runs phase B compiled for that patch."""
+    def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+                 anchor, valid, weights):
+        psum = partial(jax.lax.psum, axis_name="vis")
+
+        def one(args):
+            return _channel_density_psf(cfg, *args, psum)
+
+        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
+                              sub_uv, w_plane, anchor, valid, weights))
+
+    chan = P("chan")
+    c5 = P("chan", None, "vis", None, None)
+    c4 = P("chan", None, "vis", None)
+    in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5)
+    out_specs = (chan, chan, chan, chan)
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    jitted = jax.jit(fn)
+
+    def wave(batch) -> PsfWaveResult:
+        return PsfWaveResult(*jitted(
+            batch.kernel, batch.taper1d, batch.pixel_size, batch.mid_w,
+            batch.uv, batch.sub_uv, batch.w_plane, batch.anchor,
+            batch.valid, batch.weights))
+
+    return wave
+
+
+def make_wave_clean(mesh: Mesh, cfg: CubeConfig, patch: int):
+    """Phase-B wave: major cycles with a wave-specific CLEAN patch size.
+
+    Takes the phase-A outputs (density, psf, scale) as inputs; the patch
+    is sliced from the PSF on device at the static ``patch`` size.
+    Returns (residual, model, noise)."""
+    cfgp = dataclasses.replace(cfg, patch=patch)
+    subtract = cfg.num_sources > 0
+    half = cfg.pixels // 2
+
+    def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
+                 anchor, valid, weights, vis, density, psf, scale, *sky):
+        psum = partial(jax.lax.psum, axis_name="vis")
+
+        def one(args):
+            if subtract:
+                core, (s_lmn, s_flux, s_scales) = args[:-3], args[-3:]
+            else:
+                core = args
+                s_lmn = s_flux = s_scales = None
+            (kern, tap, ps, midw, uv_c, sub_c, wp_c, anc_c, val_c, wt_c,
+             vis_c, den_c, psf_c, sc_c) = core
+            patch_arr = jax.lax.dynamic_slice(
+                psf_c, (0, half - patch // 2, half - patch // 2),
+                (cfg.num_pols, patch, patch))
+            return _channel_majors(
+                cfgp, kern, tap, ps, midw, uv_c, sub_c, wp_c, anc_c,
+                val_c, wt_c, vis_c, den_c, sc_c, patch_arr, psum,
+                sky_lmn=s_lmn, sky_flux=s_flux, uvw_scales=s_scales)
+
+        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
+                              sub_uv, w_plane, anchor, valid, weights,
+                              vis, density, psf, scale) + sky)
+
+    chan = P("chan")
+    c5 = P("chan", None, "vis", None, None)
+    c4 = P("chan", None, "vis", None)
+    in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5, c5,
+                chan, chan, chan)
+    if subtract:
+        in_specs = in_specs + (chan, chan, chan)
+    out_specs = (chan, chan, chan)
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    jitted = jax.jit(fn)
+
+    def wave(batch, psf_result: PsfWaveResult, sky: SkyBatch = None):
+        args = (batch.kernel, batch.taper1d, batch.pixel_size, batch.mid_w,
+                batch.uv, batch.sub_uv, batch.w_plane, batch.anchor,
+                batch.valid, batch.weights, batch.vis, psf_result.density,
+                psf_result.psf, psf_result.scale)
+        if subtract:
+            if sky is None:
+                raise ValueError("cfg.num_sources > 0 requires a SkyBatch")
+            args = args + (sky.lmn, sky.flux, sky.uvw_scales)
+        return jitted(*args)
 
     return wave
 

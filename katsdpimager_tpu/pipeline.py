@@ -174,8 +174,9 @@ def main(argv=None) -> int:
     parser.add_argument("--vis-shards", type=int, default=1,
                         help="Devices cooperating per channel in --cube "
                              "mode [%(default)s]")
-    parser.add_argument("--cube-psf-patch", type=int, default=65,
-                        help="Fixed CLEAN PSF patch size in --cube mode "
+    parser.add_argument("--cube-psf-patch", type=int, default=0,
+                        help="CLEAN PSF patch size in --cube mode; 0 "
+                             "auto-sizes per wave from the measured PSF "
                              "[%(default)s]")
     parser.add_argument("--log-level", default="INFO")
     frontend.add_options(parser)
