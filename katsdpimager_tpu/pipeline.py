@@ -187,6 +187,10 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
+    if args.cube_psf_patch and (args.cube_psf_patch % 2 == 0
+                                or args.cube_psf_patch < 9):
+        parser.error("--cube-psf-patch must be 0 (auto) or an odd size "
+                     ">= 9 (CLEAN patches are centred on the PSF peak)")
     if args.subtract and args.subtract != "auto":
         from . import sky_model
 
