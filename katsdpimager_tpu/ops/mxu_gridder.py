@@ -451,7 +451,7 @@ def _chunk_factors_fft(kernel_fft, kernel_width, uv, sub_uv, w_plane,
 def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                            plan_wp, plan_vis, plan_anchor, plan_valid,
                            dw_chunks=None, *, pixels: int, ts: int,
-                           group: int = 2048, assembly: str = "fft"):
+                           group: int | None = None, assembly: str = "fft"):
     """Scan-free gridding: batched band einsum + 4-colour dense combine.
 
     ``grid_pad`` is (P, pixels + 4*ts, pixels + 4*ts) complex (zero-padded
@@ -471,6 +471,11 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
       the iFFT path ~10x because XLA's TPU FFT runs at memory speed while
       the MXU is nearly idle.
     """
+    if group is None:
+        # Measured on v5e: small groups keep the band-scatter working set
+        # down for the matmul assembly; the iFFT path amortizes its FFT
+        # batches better with large groups.
+        group = 128 if assembly == "matmul" else 2048
     K = kernel.shape[-1]
     Np = pixels
     half = Np // 2
@@ -613,7 +618,7 @@ def default_assembly() -> str:
 
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
                        plan_vis, plan_anchor, plan_valid, *, pixels: int,
-                       rv: int, ru: int, group: int = 512,
+                       rv: int, ru: int, group: int | None = None,
                        assembly: str = "fft"):
     """Predict + subtract for all chunks; returns updated (C, Mc, P) vis.
 
@@ -622,6 +627,8 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     :func:`grid_chunks_dense_impl`: ``"matmul"`` evaluates the transposed
     spectral form ``predicted = (Sv (G win G^T)) . Su`` with no iFFT.
     """
+    if group is None:
+        group = 128 if assembly == "matmul" else 512
     K = kernel.shape[-1]
     Np = pixels
     Pp = plan_vis.shape[-1]
@@ -734,6 +741,13 @@ class MxuGridder:
         self.ru = ru
         self.mc = mc
         self.mode = mode
+        self._tuned = None
+        if mode == "dense":
+            from . import autotune
+
+            self._tuned = autotune.lookup(
+                pixels=pixels, kernel_width=kernel_width,
+                num_pols=num_pols, ts=self.rv, mc=mc)
 
     def plan(self, uv, sub_uv, w_plane, vis, weights) -> ChunkPlan:
         if self.mode == "dense":
@@ -781,7 +795,9 @@ class MxuGridder:
                 jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
                 dw_chunks,
                 pixels=self.pixels, ts=self.rv,
-                assembly=default_assembly())
+                group=(self._tuned or {}).get("group"),
+                assembly=(self._tuned or {}).get("assembly",
+                                                 default_assembly()))
             return gpad[:, :self.pixels, :self.pixels]
         pad_v, pad_u = self.rv, self.ru
         gpad = xfer.device_pad(grid, pad_v, pad_u)

@@ -126,6 +126,24 @@ def test_degrid_assembly_matches_oracle(assembly):
     np.testing.assert_allclose(out, expected, rtol=2e-3, atol=2e-3)
 
 
+def test_autotune_measures_and_caches(tmp_path, monkeypatch):
+    from katsdpimager_tpu.ops import autotune
+
+    monkeypatch.setenv("KTPU_AUTOTUNE", "1")
+    monkeypatch.setenv("KTPU_AUTOTUNE_CACHE", str(tmp_path / "at.json"))
+    geo = dict(pixels=128, kernel_width=8, num_pols=1, ts=16, mc=32)
+    best = autotune.lookup(**geo, n_vis=2048)
+    assert best["assembly"] in ("fft", "matmul")
+    assert best["group"] in (128, 256, 512, 1024, 2048)
+    # second call is a pure cache hit (no KTPU_AUTOTUNE needed)
+    monkeypatch.delenv("KTPU_AUTOTUNE")
+    again = autotune.lookup(**geo)
+    assert again == best
+    # without env and without cache: no tuning
+    monkeypatch.setenv("KTPU_AUTOTUNE_CACHE", str(tmp_path / "empty.json"))
+    assert autotune.lookup(**geo) is None
+
+
 def test_empty():
     g = mxu_gridder.MxuGridder(pixels=64, kernel_width=8, num_pols=1)
     plan = g.plan(np.zeros((0, 2), np.int16), np.zeros((0, 2), np.int16),
