@@ -49,7 +49,8 @@ def preprocess_visibilities(dataset, args, start_channel, stop_channel,
         os.close(handle)
         atexit.register(lambda: os.path.exists(filename) and os.remove(filename))
         collector = preprocess.VisibilityCollectorHDF5(
-            filename, image_ps, grid_ps, args.vis_block)
+            filename, image_ps, grid_ps, args.vis_block,
+            max_cache_size=args.max_cache_size)
     else:
         collector = preprocess.VisibilityCollectorMem(
             image_ps, grid_ps, args.vis_block)
@@ -286,6 +287,8 @@ def add_options(parser):
     group.add_argument("--no-tmp-file", dest="tmp_file", action="store_false",
                        default=True,
                        help="Keep preprocessed visibilities in memory")
+    group.add_argument("--max-cache-size", type=int, default=None,
+                       help="Limit HDF5 chunk-cache bytes for preprocessing")
     group.add_argument("--minor-batch", type=int, default=256,
                        help="Minor cycles per device batch [%(default)s]")
 

@@ -448,7 +448,23 @@ class VisibilityCollectorHDF5(VisibilityCollector):
         super().__init__(image_parameters, grid_parameters, buffer_size)
         import h5py
 
-        self._file = h5py.File(filename, "w")
+        # Writes round-robin across (channel, w_slice) streams, so size the
+        # chunk cache to hold one chunk set per stream — capped by
+        # ``max_cache_size`` — to avoid evict/reload thrash (reference
+        # preprocess.py:191-221).
+        P = self.num_pols
+        per_stream = ((1 << 14) * P * (8 + 4)       # vis + weights chunks
+                      + (1 << 16) * (2 * 2 + 2 * 2 + 2))  # uv, sub_uv, w_plane
+        streams = max(1, sum(gp.w_slices for gp in self.grid_parameters))
+        cache_size = per_stream * streams
+        if max_cache_size is not None:
+            cache_size = min(cache_size, int(max_cache_size))
+            streams = max(1, cache_size // per_stream)
+        slots = streams * 100 + 1
+        while any(slots % p == 0 for p in range(2, min(slots, 100))):
+            slots += 2
+        self._file = h5py.File(filename, "w", rdcc_nbytes=cache_size,
+                               rdcc_nslots=slots)
         self._filename = filename
         self._dsets = {}
 
