@@ -91,7 +91,11 @@ def bench_preprocess():
         _report(metric="preprocess_native", value=round(n / dt / 1e6, 2),
                 unit="Mvis/s", num_vis=n)
 
-    uvw_j, wt_j, vis_j, m_j = map(jnp.asarray, (uvw, wt, vis, mueller))
+    from katsdpimager_tpu import xfer
+
+    uvw_j, wt_j = jnp.asarray(uvw), jnp.asarray(wt)
+    vis_j = xfer.device_complex(vis)
+    m_j = xfer.device_complex(np.asarray(mueller))
 
     def run(uvw, wt, vis):
         return _preprocess_channel(geom, 4, uvw, wt, vis, m_j)
@@ -125,6 +129,8 @@ def _grid_setup():
                                rv=64 if _accel() else 32,
                                ru=64 if _accel() else 32, mc=256)
     plan = g.plan(uv, sub, wp, vis, wts)
+    vis_np = plan.vis
+    plan = g.upload_plan(plan)._replace(vis=vis_np)
     return g, plan, kernel, pixels, K, n
 
 

@@ -28,6 +28,7 @@ mean-weight pass runs on device).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from typing import List
 
@@ -62,10 +63,11 @@ def _plan_layout(reader, num_channels: int, cfg_template: dict) -> dict:
                               np.asarray(chk.vis), chk.weights)
             nc = int(plan.valid.any(axis=1).sum())
             max_nc = max(max_nc, nc)
-    nc = 1
-    while nc < max_nc:
-        nc *= 2
-    cfg_template["chunks_per_slice"] = nc
+    # Dense gridding cost is proportional to the chunk CAPACITY, so keep
+    # headroom tight (25%, rounded to the scan group size); a later wave
+    # that overflows triggers a grow-and-recompile in run_cube instead.
+    cfg_template["chunks_per_slice"] = max(128, -(-int(max_nc * 1.25)
+                                                  // 128) * 128)
     return cfg_template
 
 
@@ -80,6 +82,15 @@ def _patch_bucket(need: int, pixels: int) -> int:
         if b >= need and b <= cap:
             return b
     return min(cap, _PATCH_BUCKETS[-1])
+
+
+def _make_fns(mesh, cfg, auto_patch):
+    """(psf_fn, wave_fn, restore_fn) for a config; one of psf/wave is None."""
+    if auto_patch:
+        return (cube.make_wave_psf(mesh, cfg), None,
+                cube.make_wave_restore(mesh, cfg))
+    return (None, cube.make_wave_image(mesh, cfg),
+            cube.make_wave_restore(mesh, cfg))
 
 
 def build_wave_batch(cfg: cube.CubeConfig, reader, image_ps, grid_ps,
@@ -181,6 +192,16 @@ def run_cube(args, dataset, writer) -> None:
     auto_patch = getattr(args, "cube_psf_patch", 65) == 0
     clean_fns = {}   # patch size -> compiled phase-B wave
     channels = list(range(args.start_channel, args.stop_channel))
+
+    # ALL waves must share the static (w_slices, w_planes) geometry — one
+    # compilation serves the whole cube — so take the maximum over the
+    # full channel range (pure parameter math; no data is read here).
+    all_params = [frontend.ChannelParameters(args, dataset, ch, array_p,
+                                             fixed_image_p, fixed_grid_p)
+                  for ch in channels]
+    w_slices = max(p.grid_p.w_slices for p in all_params)
+    w_planes = max(p.grid_p.w_planes for p in all_params)
+
     for wave_start in range(0, len(channels), wave_size):
         wave_channels = channels[wave_start:wave_start + wave_size]
         if all(writer.channel_already_done(dataset, ch)
@@ -192,16 +213,11 @@ def run_cube(args, dataset, writer) -> None:
             wave_size - len(wave_channels))
         start = wave_channels[0]
         stop = wave_channels[-1] + 1
-        params = [frontend.ChannelParameters(args, dataset, ch, array_p,
-                                             fixed_image_p, fixed_grid_p)
-                  for ch in range(start, stop)]
-        image_ps = [p.image_p for p in params]
-        grid_ps = [p.grid_p for p in params]
-        # All channels of a wave must share static geometry.
-        w_slices = max(gp.w_slices for gp in grid_ps)
-        w_planes = max(gp.w_planes for gp in grid_ps)
-        grid_ps = [parameters.GridParameters(fixed_grid_p, w_slices, w_planes)
-                   for _ in grid_ps]
+        image_ps = [all_params[ch - channels[0]].image_p
+                    for ch in range(start, stop)]
+        grid_ps = [parameters.GridParameters(fixed_grid_p, w_slices,
+                                             w_planes)
+                   for _ in range(start, stop)]
 
         collector = frontend.preprocess_visibilities(
             dataset, args, start, stop, image_ps, grid_ps, mueller)
@@ -230,18 +246,28 @@ def run_cube(args, dataset, writer) -> None:
                                             0.1),
             )
             template = _plan_layout(reader, len(image_ps), template)
-            # headroom for later waves
-            template["chunks_per_slice"] *= 2
             cfg = cube.CubeConfig(**template)
-            if auto_patch:
-                psf_fn = cube.make_wave_psf(mesh, cfg)
-            else:
-                wave_fn = cube.make_wave_image(mesh, cfg)
-            restore_fn = cube.make_wave_restore(mesh, cfg)
+            psf_fn, wave_fn, restore_fn = _make_fns(mesh, cfg, auto_patch)
             logger.info("Cube config: %s", cfg)
 
-        batch = build_wave_batch(cfg, reader, image_ps, grid_ps, padded,
-                                 start)
+        from .parallel.multichannel import ChunkOverflowError
+
+        while True:
+            try:
+                batch = build_wave_batch(cfg, reader, image_ps, grid_ps,
+                                         padded, start)
+                break
+            except ChunkOverflowError:
+                # A wave overflowed the chunk capacity: grow + recompile
+                # (rare; capacity-proportional gridding cost makes tight
+                # layouts worth the occasional recompile).
+                cfg = dataclasses.replace(
+                    cfg, chunks_per_slice=cfg.chunks_per_slice * 2)
+                logger.info("Growing chunk capacity to %d (recompiling)",
+                            cfg.chunks_per_slice)
+                psf_fn, wave_fn, restore_fn = _make_fns(mesh, cfg,
+                                                        auto_patch)
+                clean_fns.clear()
 
         sky = None
         if subtract_model is not None:

@@ -160,20 +160,23 @@ class Imaging:
             self.grid, self.kernel, self.weights.grid, uv, sub_uv, w_plane,
             xfer.device_complex(_pad_to(vis, n)), pixels=self.pixels)
 
-    def _slice_plan(self, chunk, w_slice: int) -> mxu_gridder.ChunkPlan:
+    def _slice_plan(self, chunk, w_slice: int):
+        """(host_plan, device_plan) pair; the device mirror is uploaded
+        once so per-pass grid/degrid calls move no plan data."""
         key = (w_slice, len(chunk.uv))
-        plan = self._plans.get(key)
-        if plan is None:
-            plan = self._mxu.plan(chunk.uv, chunk.sub_uv, chunk.w_plane,
+        entry = self._plans.get(key)
+        if entry is None:
+            host = self._mxu.plan(chunk.uv, chunk.sub_uv, chunk.w_plane,
                                   np.asarray(chunk.vis, np.complex64),
                                   chunk.weights)
-            self._plans[key] = plan
-        return plan
+            entry = (host, self._mxu.upload_plan(host))
+            self._plans[key] = entry
+        return entry
 
     def grid_slice(self, chunk, vis, w_slice: int):
         """Grid a whole (channel, w_slice) visibility set via the MXU
         dense-matmul gridder.  ``vis`` may be numpy or device-resident."""
-        plan = self._slice_plan(chunk, w_slice)
+        host_plan, plan = self._slice_plan(chunk, w_slice)
         if plan.uv.shape[0] == 0:
             return
         if not isinstance(vis, jnp.ndarray):
@@ -186,8 +189,8 @@ class Imaging:
         if dw is None and self._mxu.mode == "dense":
             wg = np.asarray(self.weights.grid)
             half = self.pixels // 2
-            dw_np = wg[:, plan.uv[..., 1] + half,
-                       plan.uv[..., 0] + half].transpose(1, 2, 0)
+            dw_np = wg[:, host_plan.uv[..., 1] + half,
+                       host_plan.uv[..., 0] + half].transpose(1, 2, 0)
             dw = jnp.asarray(np.ascontiguousarray(dw_np, np.float32))
             self._dw_cache[key] = dw
         self.grid = self._mxu.grid(self.grid, self.kernel,
@@ -197,7 +200,7 @@ class Imaging:
     def degrid_slice(self, chunk, vis, model_grid, w_slice: int):
         """Subtract degridded model visibilities for a whole slice; the
         result stays on device."""
-        plan = self._slice_plan(chunk, w_slice)
+        _host_plan, plan = self._slice_plan(chunk, w_slice)
         if not isinstance(vis, jnp.ndarray):
             vis = xfer.device_complex(np.asarray(vis))
         vis_chunked = self._mxu.chunk_vis(plan, vis)

@@ -834,6 +834,24 @@ class MxuGridder:
         return degrid_chunks(*args, pixels=self.pixels, rv=self.rv,
                              ru=self.ru, assembly=default_assembly())
 
+    def upload_plan(self, plan: ChunkPlan) -> ChunkPlan:
+        """Upload the plan's coordinate fields to the device ONCE.
+
+        ``grid``/``degrid``/``chunk_vis`` call ``jnp.asarray`` on these
+        fields per invocation — a no-op for device arrays, but a repeated
+        multi-MB host upload for numpy plans (the plan is fixed across
+        major cycles, so pay it once).  ``vis`` stays host-side (complex
+        cannot cross some transports eagerly; pass ``vis_chunked``)."""
+        return plan._replace(
+            uv=jnp.asarray(plan.uv), sub_uv=jnp.asarray(plan.sub_uv),
+            w_plane=jnp.asarray(plan.w_plane),
+            weights=jnp.asarray(plan.weights),
+            anchor=jnp.asarray(plan.anchor),
+            valid=jnp.asarray(plan.valid),
+            order=jnp.asarray(plan.order.astype(np.int32)),
+            chunk_of=jnp.asarray(plan.chunk_of.astype(np.int32)),
+            slot_of=jnp.asarray(plan.slot_of.astype(np.int32)))
+
     def chunk_vis(self, plan: ChunkPlan, vis):
         """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout.
 

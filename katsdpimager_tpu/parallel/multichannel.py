@@ -241,6 +241,10 @@ def make_global_batch(mesh: Mesh, local: ChannelBatch) -> ChannelBatch:
                           for x, spec in zip(local, BATCH_SPECS)))
 
 
+class ChunkOverflowError(ValueError):
+    """A (channel, slice) needs more chunks than the configured capacity."""
+
+
 def chunk_channel(cfg: MultiChannelConfig, uv, sub_uv, w_plane, vis,
                   weights):
     """Plan one (channel, slice) into the padded chunk layout of the batch."""
@@ -254,7 +258,8 @@ def chunk_channel(cfg: MultiChannelConfig, uv, sub_uv, w_plane, vis,
     # that actually hold visibilities before re-padding to the batch layout.
     nc = int(plan.valid.any(axis=1).sum())
     if nc > NC:
-        raise ValueError(f"slice needs {nc} chunks > configured {NC}")
+        raise ChunkOverflowError(
+            f"slice needs {nc} chunks > configured {NC}")
 
     def padnc(a):
         out = np.zeros((NC,) + a.shape[1:], a.dtype)

@@ -181,6 +181,66 @@ class TestCubePipelineCLI:
                                                          rel=0.25)
             assert stats["noise"] > 0
 
+    def test_multi_wave_geometry(self, tmp_path):
+        """Channels spanning several waves share one static geometry: a
+        16-channel cube on an 8-device mesh runs two waves whose
+        higher-frequency channels need more w-planes than wave 1
+        (regression: cfg used to freeze wave 1's geometry and crash)."""
+        import json
+
+        from katsdpimager_tpu import pipeline
+
+        sim_path = str(tmp_path / "cube16.h5")
+        freqs = 856e6 + 214e6 * (np.arange(16) + 0.5) / 16
+        simulate.make_sim_dataset(sim_path, num_antennas=16, num_times=12,
+                                  num_channels=16, max_radius=800.0,
+                                  frequencies=freqs)
+        outdir = str(tmp_path / "out16")
+        rc = pipeline.main([
+            sim_path, outdir, "--cube", "--pixels", "256",
+            "--kernel-width", "12", "--minor", "50", "--major", "1",
+            "--loop-gain", "0.25", "--no-thumbnails",
+        ])
+        assert rc == 0
+        with open(f"{outdir}/state.json") as f:
+            state = json.load(f)
+        assert len([k for k in state if k.startswith("status/")]) == 16
+        # flux consistent between the waves
+        t0 = state["stats/0"]["totals"]["I"]
+        t15 = state["stats/15"]["totals"]["I"]
+        assert t15 == pytest.approx(t0, rel=0.3)
+
+    def test_chunk_capacity_grows_on_overflow(self, tmp_path, monkeypatch):
+        """An undersized chunk layout triggers grow-and-recompile instead
+        of failing the run."""
+        import json
+
+        from katsdpimager_tpu import cube_frontend, pipeline
+
+        sim_path = str(tmp_path / "cube_grow.h5")
+        freqs = 856e6 + 214e6 * (np.arange(8) + 0.5) / 8
+        simulate.make_sim_dataset(sim_path, num_antennas=16, num_times=16,
+                                  num_channels=8, max_radius=800.0,
+                                  frequencies=freqs)
+        orig = cube_frontend._plan_layout
+
+        def tiny_layout(reader, num_channels, template):
+            template = orig(reader, num_channels, template)
+            template["chunks_per_slice"] = 128  # deliberately too small
+            return template
+
+        monkeypatch.setattr(cube_frontend, "_plan_layout", tiny_layout)
+        outdir = str(tmp_path / "out_grow")
+        rc = pipeline.main([
+            sim_path, outdir, "--cube", "--pixels", "256",
+            "--kernel-width", "12", "--minor", "50", "--major", "1",
+            "--loop-gain", "0.25", "--no-thumbnails",
+        ])
+        assert rc == 0
+        with open(f"{outdir}/state.json") as f:
+            state = json.load(f)
+        assert len([k for k in state if k.startswith("status/")]) == 8
+
     def test_cube_subtract_and_primary_beam(self, tmp_path):
         """--subtract removes a source on device inside the wave and
         --primary-beam correction is applied in the sharded restore."""
