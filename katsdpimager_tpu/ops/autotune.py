@@ -25,7 +25,8 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 #: (assembly, group) candidates, fastest-first by v5e measurements.
-_CANDIDATES = (("matmul", 128), ("matmul", 256), ("matmul", 512),
+_CANDIDATES = (("tapsmm", 128), ("tapsmm", 256), ("tapsmm", 64),
+               ("matmul", 128), ("matmul", 256),
                ("fft", 2048), ("fft", 1024))
 
 
@@ -105,6 +106,7 @@ def _measure(assembly: str, group: int, *, pixels: int, kernel_width: int,
         out = mxu_gridder.grid_chunks_dense_impl(
             gpad, lax.complex(kp[..., 0], kp[..., 1]), wg, pj[0], pj[1],
             pj[2], lax.complex(vp[..., 0], vp[..., 1]), pj[3], pj[4], dw,
+            mxu_gridder.occupied_chunks(pj[4]),
             pixels=pixels, ts=ts, group=group, assembly=assembly)
         return jnp.sum(jnp.abs(out))
 

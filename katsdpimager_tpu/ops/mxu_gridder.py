@@ -450,13 +450,21 @@ def _chunk_factors_fft(kernel_fft, kernel_width, uv, sub_uv, w_plane,
 
 def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                            plan_wp, plan_vis, plan_anchor, plan_valid,
-                           dw_chunks=None, *, pixels: int, ts: int,
-                           group: int | None = None, assembly: str = "fft"):
+                           dw_chunks=None, n_chunks=None, *, pixels: int,
+                           ts: int, group: int | None = None,
+                           assembly: str = "fft"):
     """Scan-free gridding: batched band einsum + 4-colour dense combine.
 
     ``grid_pad`` is (P, pixels + 4*ts, pixels + 4*ts) complex (zero-padded
     working copy; caller crops).  Anchors must be tile-aligned
     (:func:`plan_chunks_tiled`).
+
+    ``n_chunks`` (optional traced scalar) is the number of OCCUPIED chunks;
+    the plan layouts place occupied chunks first, so when given, the group
+    loop runs ``ceil(n_chunks / group)`` iterations (a dynamic
+    ``fori_loop`` bound) and cost tracks valid visibilities instead of the
+    padded layout capacity — a large win for capacity-sized cube layouts
+    at partial fill.
 
     ``assembly`` selects how per-visibility kernel taps become bands:
 
@@ -470,12 +478,19 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
       ramps.  Three L-sized matmuls per chunk, all MXU — on TPU this beats
       the iFFT path ~10x because XLA's TPU FFT runs at memory speed while
       the MXU is nearly idle.
+    - ``"tapsmm"``: materialize shifted taps by a single large GEMM per
+      group — ``B = S @ G[:, :ts+K]`` with ``S`` the ``(group*Mc, L)``
+      stack of spectral rows×ramps — then one batched band product per
+      group.  Mathematically identical to ``"fft"`` (the GEMM *is* the
+      iDFT) but it moves two thirds of the flops from batched small
+      matmuls into one MXU-shaped contraction; measured faster than
+      ``"matmul"`` on v5e.
     """
     if group is None:
         # Measured on v5e: small groups keep the band-scatter working set
-        # down for the matmul assembly; the iFFT path amortizes its FFT
+        # down for the matmul assemblies; the iFFT path amortizes its FFT
         # batches better with large groups.
-        group = 128 if assembly == "matmul" else 2048
+        group = 128 if assembly in ("matmul", "tapsmm") else 2048
     K = kernel.shape[-1]
     Np = pixels
     half = Np // 2
@@ -494,11 +509,18 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     W, O = kernel.shape[0], kernel.shape[1]
     kflat = kernel_fft.reshape(W * O, L)
     uv_bias = (K - 1) // 2 - Np // 2
-    if assembly == "matmul":
+    if assembly in ("matmul", "tapsmm"):
         tk = np.arange(L)
         G = jnp.asarray(
             np.exp(2j * np.pi * np.outer(tk, tk) / L).astype(np.complex64)
             / L)
+        # Shift phase ramps exp(-2pi i f o / L) for integer in-window
+        # offsets o: tile-aligned plans put o in [0, ts), so the ramps are
+        # a tiny dictionary — a row gather replaces ~(Mc*L) cos/sin pairs
+        # per chunk (exact, not an approximation).
+        ramp_tab = jnp.asarray(np.exp(
+            -2j * np.pi * np.outer(np.arange(TS2), tk) / L
+        ).astype(np.complex64))
 
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC
@@ -546,15 +568,12 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             return jnp.pad(band, ((0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
 
         def one_matmul(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
-            u0r = (uv_c[:, 0] - uv_bias - anc_c[1]).astype(jnp.float32)
-            v0r = (uv_c[:, 1] - uv_bias - anc_c[0]).astype(jnp.float32)
+            u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, TS2 - 1)
+            v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, TS2 - 1)
             spec_u = kflat[wp_c * O + sub_c[:, 0]]   # (Mc, L)
             spec_v = kflat[wp_c * O + sub_c[:, 1]]
-            freqs = jnp.arange(L, dtype=jnp.float32) * (2 * np.pi / L)
-            pu = -freqs[None, :] * u0r[:, None]
-            pv = -freqs[None, :] * v0r[:, None]
-            Su = spec_u * jax.lax.complex(jnp.cos(pu), jnp.sin(pu))
-            Sv = spec_v * jax.lax.complex(jnp.cos(pv), jnp.sin(pv))
+            Su = spec_u * ramp_tab[u0r]
+            Sv = spec_v * ramp_tab[v0r]
             sample = sample_of(uv_c, vis_c, val_c, dw_c)
             core = jnp.einsum("mk,pm,ml->pkl", Sv, jnp.conj(sample), Su,
                               precision=_PRECISION,
@@ -565,13 +584,47 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             band = jnp.conj(band)
             return jnp.pad(band, ((0, 0), (0, TS2 - L), (0, TS2 - L)))
 
-        one = one_matmul if assembly == "matmul" else one_fft
-        if dwx is None:
-            bands = jax.vmap(
-                lambda a, b, c, d, e, f: one(a, b, c, d, e, f, None)
-            )(uv, sub, wp, vis, anchor, valid)
+        def group_tapsmm(uv, sub, wp, vis, anchor, valid, dwx):
+            # Whole-group tap materialization: one (g*Mc, L) @ (L, TSK)
+            # GEMM per axis, then one batched band product.  B rows for
+            # invalid slots are garbage; `sample` is masked so they
+            # contribute zero.
+            g, Mc = wp.shape
+            u0r = jnp.clip(uv[..., 0] - uv_bias - anchor[:, None, 1],
+                           0, TS2 - 1)                         # (g, Mc)
+            v0r = jnp.clip(uv[..., 1] - uv_bias - anchor[:, None, 0],
+                           0, TS2 - 1)
+            spec_u = kflat[wp * O + sub[..., 0]]               # (g, Mc, L)
+            spec_v = kflat[wp * O + sub[..., 1]]
+            Su = spec_u * ramp_tab[u0r]
+            Sv = spec_v * ramp_tab[v0r]
+            Gt = G[:, :TSK]
+            Bu = (Su.reshape(g * Mc, L) @ Gt).reshape(g, Mc, TSK)
+            Bv = (Sv.reshape(g * Mc, L) @ Gt).reshape(g, Mc, TSK)
+            if dwx is None:
+                sample = jax.vmap(
+                    lambda uv_c, vis_c, val_c: sample_of(
+                        uv_c, vis_c, val_c, None))(uv, vis, valid)
+            else:
+                sample = jax.vmap(sample_of)(uv, vis, valid, dwx)
+            # band[g,p,r,c] = sum_m conj(Bv)[g,m,r] sample[g,p,m] conj(Bu)[g,m,c]
+            US = sample[..., None] * jnp.conj(Bu)[:, None, :, :]
+            band = jnp.einsum("gmr,gpmc->gprc", jnp.conj(Bv), US,
+                              precision=_PRECISION,
+                              preferred_element_type=grid_pad.dtype)
+            return jnp.pad(band, ((0, 0), (0, 0), (0, TS2 - TSK),
+                                  (0, TS2 - TSK)))
+
+        if assembly == "tapsmm":
+            bands = group_tapsmm(uv, sub, wp, vis, anchor, valid, dwx)
         else:
-            bands = jax.vmap(one)(uv, sub, wp, vis, anchor, valid, dwx)
+            one = one_matmul if assembly == "matmul" else one_fft
+            if dwx is None:
+                bands = jax.vmap(
+                    lambda a, b, c, d, e, f: one(a, b, c, d, e, f, None)
+                )(uv, sub, wp, vis, anchor, valid)
+            else:
+                bands = jax.vmap(one)(uv, sub, wp, vis, anchor, valid, dwx)
         tv = anchor[:, 0] // ts
         tu = anchor[:, 1] // ts
         T = T.at[tv & 1, tu & 1, tv >> 1, tu >> 1].add(bands)
@@ -580,7 +633,19 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     T0 = jnp.zeros((2, 2, nt2, nt2, Pp, TS2, TS2), grid_pad.dtype)
     xs = ((uv_g, sub_g, wp_g, vis_g, anc_g, val_g) if dw_g is None
           else (uv_g, sub_g, wp_g, vis_g, anc_g, val_g, dw_g))
-    T, _ = jax.lax.scan(group_body, T0, xs)
+    if n_chunks is None:
+        T, _ = jax.lax.scan(group_body, T0, xs)
+    else:
+        ng = jnp.minimum((n_chunks + group - 1) // group,
+                         n_groups).astype(jnp.int32)
+
+        def body_at(i, T):
+            xsi = tuple(jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+                        for a in xs)
+            T, _ = group_body(T, xsi)
+            return T
+
+        T = jax.lax.fori_loop(0, ng, body_at, T0)
 
     # Four dense shifted adds: colour (a, b) tiles form a contiguous image.
     ext = nt2 * TS2
@@ -606,6 +671,14 @@ grid_chunks_dense = partial(jax.jit,
                             donate_argnums=(0,))(grid_chunks_dense_impl)
 
 
+def occupied_chunks(valid) -> jnp.ndarray:
+    """Number of occupied chunks of an occupied-first (NC, Mc) valid mask.
+
+    Both planners assign chunk indices in sorted order with padding chunks
+    at the end, so this bounds the dense group loops (``n_chunks``)."""
+    return jnp.sum(jnp.any(jnp.asarray(valid), axis=-1).astype(jnp.int32))
+
+
 def default_assembly() -> str:
     """Band-assembly default: all-matmul on TPU (the MXU is idle and the
     TPU FFT is memory-bound), iFFT materialization elsewhere.  Override
@@ -617,18 +690,22 @@ def default_assembly() -> str:
 
 
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
-                       plan_vis, plan_anchor, plan_valid, *, pixels: int,
-                       rv: int, ru: int, group: int | None = None,
-                       assembly: str = "fft"):
+                       plan_vis, plan_anchor, plan_valid, n_chunks=None, *,
+                       pixels: int, rv: int, ru: int,
+                       group: int | None = None, assembly: str = "fft"):
     """Predict + subtract for all chunks; returns updated (C, Mc, P) vis.
 
     Chunk windows are read-only, so chunks evaluate in parallel (vmap)
     within memory-bounded groups.  ``assembly`` as in
     :func:`grid_chunks_dense_impl`: ``"matmul"`` evaluates the transposed
-    spectral form ``predicted = (Sv (G win G^T)) . Su`` with no iFFT.
+    spectral form ``predicted = (Sv (G win G^T)) . Su`` with no iFFT;
+    ``"tapsmm"`` materializes taps with one large GEMM per group.
+    ``n_chunks`` (traced scalar) bounds the group loop to occupied chunks
+    (occupied-first layouts); unprocessed padding chunks pass their vis
+    through unchanged.
     """
     if group is None:
-        group = 128 if assembly == "matmul" else 512
+        group = 128 if assembly in ("matmul", "tapsmm") else 512
     K = kernel.shape[-1]
     Np = pixels
     Pp = plan_vis.shape[-1]
@@ -640,13 +717,17 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     W, O = kernel.shape[0], kernel.shape[1]
     kflat = kernel_fft.reshape(W * O, L)
     uv_bias = (K - 1) // 2 - Np // 2
-    if assembly == "matmul":
+    if assembly in ("matmul", "tapsmm"):
         tk = np.arange(L)
         G = jnp.asarray(
             np.exp(2j * np.pi * np.outer(tk, tk) / L).astype(np.complex64)
             / L)
         Gr = G[:, :rv + K]
         Gc = G[:, :ru + K]
+        # integer shift-offset ramp dictionary (see grid_chunks_dense_impl)
+        ramp_tab = jnp.asarray(np.exp(
+            -2j * np.pi * np.outer(np.arange(L), tk) / L
+        ).astype(np.complex64))
 
     def window(anchor):
         return jax.lax.dynamic_slice(
@@ -664,15 +745,12 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         return vis - wt * predicted.T.astype(vis.dtype)
 
     def one_matmul(uv, sub, wp, wt, vis, anchor, valid):
-        u0r = (uv[:, 0] - uv_bias - anchor[1]).astype(jnp.float32)
-        v0r = (uv[:, 1] - uv_bias - anchor[0]).astype(jnp.float32)
+        u0r = jnp.clip(uv[:, 0] - uv_bias - anchor[1], 0, L - 1)
+        v0r = jnp.clip(uv[:, 1] - uv_bias - anchor[0], 0, L - 1)
         spec_u = kflat[wp * O + sub[:, 0]]   # (Mc, L)
         spec_v = kflat[wp * O + sub[:, 1]]
-        freqs = jnp.arange(L, dtype=jnp.float32) * (2 * np.pi / L)
-        pu = -freqs[None, :] * u0r[:, None]
-        pv = -freqs[None, :] * v0r[:, None]
-        Su = spec_u * jax.lax.complex(jnp.cos(pu), jnp.sin(pu))
-        Sv = spec_v * jax.lax.complex(jnp.cos(pv), jnp.sin(pv))
+        Su = spec_u * ramp_tab[u0r]
+        Sv = spec_v * ramp_tab[v0r]
         win = window(anchor)
         wspec = jnp.einsum("kr,prc,lc->pkl", Gr, win, Gc,
                            precision=_PRECISION,
@@ -683,6 +761,23 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         predicted = predicted * valid[None, :]
         return vis - wt * predicted.T.astype(vis.dtype)
 
+    def group_tapsmm(uv, sub, wp, wt, vis, anchor, valid):
+        g, Mc = wp.shape
+        u0r = jnp.clip(uv[..., 0] - uv_bias - anchor[:, None, 1], 0, L - 1)
+        v0r = jnp.clip(uv[..., 1] - uv_bias - anchor[:, None, 0], 0, L - 1)
+        spec_u = kflat[wp * O + sub[..., 0]]
+        spec_v = kflat[wp * O + sub[..., 1]]
+        Su = spec_u * ramp_tab[u0r]
+        Sv = spec_v * ramp_tab[v0r]
+        Bu = (Su.reshape(g * Mc, L) @ G[:, :ru + K]).reshape(g, Mc, ru + K)
+        Bv = (Sv.reshape(g * Mc, L) @ G[:, :rv + K]).reshape(g, Mc, rv + K)
+        win = jax.vmap(window)(anchor)                    # (g, P, R, C)
+        T = jnp.einsum("gmr,gprc->gpmc", Bv, win, precision=_PRECISION,
+                       preferred_element_type=grid.dtype)
+        predicted = jnp.sum(T * Bu[:, None, :, :], axis=-1)   # (g, P, Mc)
+        predicted = predicted * valid[:, None, :]
+        return vis - wt * jnp.swapaxes(predicted, 1, 2).astype(vis.dtype)
+
     one = one_matmul if assembly == "matmul" else one_fft
 
     n_groups = -(-NC // group)
@@ -691,10 +786,27 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     def padg(a):
         return jnp.pad(a, [(0, pad_nc)] + [(0, 0)] * (a.ndim - 1))
 
-    args = [padg(a).reshape((n_groups, group) + a.shape[1:])
-            for a in (plan_uv, plan_sub, plan_wp, plan_wt, plan_vis,
-                      plan_anchor, plan_valid)]
-    new_vis = jax.lax.map(lambda xs: jax.vmap(one)(*xs), tuple(args))
+    args = tuple(padg(a).reshape((n_groups, group) + a.shape[1:])
+                 for a in (plan_uv, plan_sub, plan_wp, plan_wt, plan_vis,
+                           plan_anchor, plan_valid))
+    if assembly == "tapsmm":
+        group_fn = lambda xs: group_tapsmm(*xs)  # noqa: E731
+    else:
+        group_fn = lambda xs: jax.vmap(one)(*xs)  # noqa: E731
+    if n_chunks is None:
+        new_vis = jax.lax.map(group_fn, args)
+    else:
+        ng = jnp.minimum((n_chunks + group - 1) // group,
+                         n_groups).astype(jnp.int32)
+        vis_groups = args[4]
+
+        def body_at(i, out):
+            xsi = tuple(jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+                        for a in args)
+            return jax.lax.dynamic_update_index_in_dim(
+                out, group_fn(xsi), i, 0)
+
+        new_vis = jax.lax.fori_loop(0, ng, body_at, vis_groups)
     return new_vis.reshape((n_groups * group,) + plan_vis.shape[1:])[:NC]
 
 
@@ -788,12 +900,13 @@ class MxuGridder:
             ext = dense_pad_size(self.pixels, self.rv)
             gpad = xfer.device_pad(grid, ext - self.pixels,
                                    ext - self.pixels)
+            valid = jnp.asarray(plan.valid)
             gpad = grid_chunks_dense(
                 gpad, kernel, weights_grid,
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
                 jnp.asarray(plan.w_plane), vis_arr,
-                jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
-                dw_chunks,
+                jnp.asarray(plan.anchor), valid,
+                dw_chunks, occupied_chunks(valid),
                 pixels=self.pixels, ts=self.rv,
                 group=(self._tuned or {}).get("group"),
                 assembly=(self._tuned or {}).get("assembly",
@@ -831,7 +944,8 @@ class MxuGridder:
 
             return degrid_chunks_pallas(*args, pixels=self.pixels,
                                         rv=self.rv, ru=self.ru)
-        return degrid_chunks(*args, pixels=self.pixels, rv=self.rv,
+        return degrid_chunks(*args, occupied_chunks(args[-1]),
+                             pixels=self.pixels, rv=self.rv,
                              ru=self.ru, assembly=default_assembly())
 
     def upload_plan(self, plan: ChunkPlan) -> ChunkPlan:

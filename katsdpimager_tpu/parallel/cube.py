@@ -97,18 +97,32 @@ class WaveResult(NamedTuple):
     psf_peak: jnp.ndarray   # (C, P)
 
 
+def _nc_slices_of(valid) -> jnp.ndarray:
+    """Occupied-chunk count per w-slice from a (S, NC, Mc) valid mask."""
+    return jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32), axis=-1)
+
+
 def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
-                 anchor, valid, vis, taper1d, pixel_size, mid_w, psum):
-    """W-stacked dirty image from chunked visibilities (device)."""
+                 anchor, valid, vis, taper1d, pixel_size, mid_w, psum,
+                 nc_slices=None):
+    """W-stacked dirty image from chunked visibilities (device).
+
+    ``nc_slices`` (S,) bounds the gridder's group loop to occupied chunks;
+    it must be unbatched across a channel vmap (max over channels) so the
+    dynamic loop bound does not trigger masked batching of the big tile
+    carry."""
     N = cfg.pixels
     Pp = cfg.num_pols
+    if nc_slices is None:
+        nc_slices = _nc_slices_of(valid)
 
     def body(dirty, xs):
-        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid = xs
+        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
         ext = mxu_gridder.dense_pad_size(N, cfg.rv)
         gpad = jnp.zeros((Pp, ext, ext), jnp.complex64)
         gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
+            None, nc_s,
             pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
         grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
@@ -117,29 +131,35 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
 
     dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
     dirty, _ = jax.lax.scan(body, dirty0,
-                            (uv, sub_uv, w_plane, anchor, valid, vis, mid_w))
+                            (uv, sub_uv, w_plane, anchor, valid, vis, mid_w,
+                             nc_slices))
     return dirty
 
 
 def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
-                   anchor, valid, weights, vis, taper1d, pixel_size, mid_w):
+                   anchor, valid, weights, vis, taper1d, pixel_size, mid_w,
+                   nc_slices=None):
     """Subtract the degridded model from every slice's visibilities."""
     N = cfg.pixels
+    if nc_slices is None:
+        nc_slices = _nc_slices_of(valid)
 
     def body(_, xs):
-        uv_s, sub_s, wp_s, anc_s, val_s, wt_s, vis_s, w_mid = xs
+        uv_s, sub_s, wp_s, anc_s, val_s, wt_s, vis_s, w_mid, nc_s = xs
         grid = image_to_grid_impl(model, taper1d, w_mid, pixel_size,
                                   pixels=N)
         gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
         new_vis = mxu_gridder.degrid_chunks_impl(
             gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
+            nc_s,
             pixels=N, rv=cfg.rv, ru=cfg.ru,
             assembly=mxu_gridder.default_assembly())
         return None, new_vis
 
     _, new_vis = jax.lax.scan(
         body, None,
-        (uv, sub_uv, w_plane, anchor, valid, weights, vis, mid_w))
+        (uv, sub_uv, w_plane, anchor, valid, weights, vis, mid_w,
+         nc_slices))
     return new_vis
 
 
@@ -211,7 +231,7 @@ def _clean_stage(cfg: CubeConfig, residual, model, psf_patch_arr):
 
 def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
                          mid_w, uv, sub_uv, w_plane, anchor, valid,
-                         weights, psum):
+                         weights, psum, nc_slices=None):
     """Imaging weights + normalized PSF for one channel (device)."""
     N = cfg.pixels
     Pp = cfg.num_pols
@@ -242,7 +262,8 @@ def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
     # ---- PSF: grid the weights as "visibilities"
     psf = _grid_slices(cfg, kernel, density, uv, sub_uv, w_plane, anchor,
                        valid, weights.astype(jnp.complex64)
-                       * valid[..., None], taper1d, pixel_size, mid_w, psum)
+                       * valid[..., None], taper1d, pixel_size, mid_w, psum,
+                       nc_slices=nc_slices)
     psf_peak = psf[:, half, half]
     scale = jnp.where(psf_peak != 0,
                       1.0 / jnp.where(psf_peak != 0, psf_peak, 1.0), 0.0)
@@ -253,7 +274,7 @@ def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
 def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
                     uv, sub_uv, w_plane, anchor, valid, weights, vis,
                     density, scale, patch, psum, sky_lmn=None,
-                    sky_flux=None, uvw_scales=None):
+                    sky_flux=None, uvw_scales=None, nc_slices=None):
     """Major cycles for one channel given density weights and a PSF patch."""
     N = cfg.pixels
     Pp = cfg.num_pols
@@ -277,8 +298,10 @@ def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
         if major > 0:
             cur_vis = _degrid_slices(cfg, kernel, model, uv, sub_uv,
                                      w_plane, anchor, valid, weights, vis,
-                                     taper1d, pixel_size, mid_w)
-        dirty = grid_fn(cur_vis, taper1d, pixel_size, mid_w, psum)
+                                     taper1d, pixel_size, mid_w,
+                                     nc_slices=nc_slices)
+        dirty = grid_fn(cur_vis, taper1d, pixel_size, mid_w, psum,
+                        nc_slices=nc_slices)
         dirty = dirty * scale[:, None, None]
         residual, model, noise = _clean_stage(cfg, dirty, model, patch)
     return residual, model, noise
@@ -287,7 +310,7 @@ def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
 def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
                            mid_w, uv, sub_uv, w_plane, anchor, valid,
                            weights, vis, vis_axis, sky_lmn=None,
-                           sky_flux=None, uvw_scales=None):
+                           sky_flux=None, uvw_scales=None, nc_slices=None):
     N = cfg.pixels
     Pp = cfg.num_pols
     psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
@@ -296,7 +319,7 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
 
     density, psf, psf_peak, scale = _channel_density_psf(
         cfg, kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
-        anchor, valid, weights, psum)
+        anchor, valid, weights, psum, nc_slices=nc_slices)
     patch = jax.lax.dynamic_slice(
         psf, (0, half - cfg.patch // 2, half - cfg.patch // 2),
         (Pp, cfg.patch, cfg.patch))
@@ -307,7 +330,8 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
     residual, model, noise = _channel_majors(
         cfg, kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
         anchor, valid, weights, vis, density, scale, patch, psum,
-        sky_lmn=sky_lmn, sky_flux=sky_flux, uvw_scales=uvw_scales)
+        sky_lmn=sky_lmn, sky_flux=sky_flux, uvw_scales=uvw_scales,
+        nc_slices=nc_slices)
     return residual, model, core, noise, psf_peak
 
 
@@ -321,17 +345,21 @@ def make_wave_image(mesh: Mesh, cfg: CubeConfig):
 
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
                  anchor, valid, weights, vis, *sky):
-        def one(args):
+        nc_slices = jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0)
+
+        def one(args, nc_s):
             if subtract:
                 core, (s_lmn, s_flux, s_scales) = args[:-3], args[-3:]
                 return _channel_cube_pipeline(
                     cfg, *core, vis_axis="vis", sky_lmn=s_lmn,
-                    sky_flux=s_flux, uvw_scales=s_scales)
-            return _channel_cube_pipeline(cfg, *args, vis_axis="vis")
+                    sky_flux=s_flux, uvw_scales=s_scales, nc_slices=nc_s)
+            return _channel_cube_pipeline(cfg, *args, vis_axis="vis",
+                                          nc_slices=nc_s)
 
-        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
-                              sub_uv, w_plane, anchor, valid, weights, vis)
-                             + sky)
+        return jax.vmap(one, in_axes=(0, None))(
+            (kernel, taper1d, pixel_size, mid_w, uv,
+             sub_uv, w_plane, anchor, valid, weights, vis) + sky,
+            nc_slices)
 
     chan = P("chan")
     c5 = P("chan", None, "vis", None, None)
@@ -374,12 +402,14 @@ def make_wave_psf(mesh: Mesh, cfg: CubeConfig):
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
                  anchor, valid, weights):
         psum = partial(jax.lax.psum, axis_name="vis")
+        nc_slices = jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0)
 
-        def one(args):
-            return _channel_density_psf(cfg, *args, psum)
+        def one(args, nc_s):
+            return _channel_density_psf(cfg, *args, psum, nc_slices=nc_s)
 
-        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
-                              sub_uv, w_plane, anchor, valid, weights))
+        return jax.vmap(one, in_axes=(0, None))(
+            (kernel, taper1d, pixel_size, mid_w, uv,
+             sub_uv, w_plane, anchor, valid, weights), nc_slices)
 
     chan = P("chan")
     c5 = P("chan", None, "vis", None, None)
@@ -413,7 +443,9 @@ def make_wave_clean(mesh: Mesh, cfg: CubeConfig, patch: int):
                  anchor, valid, weights, vis, density, psf, scale, *sky):
         psum = partial(jax.lax.psum, axis_name="vis")
 
-        def one(args):
+        nc_slices = jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0)
+
+        def one(args, nc_s):
             if subtract:
                 core, (s_lmn, s_flux, s_scales) = args[:-3], args[-3:]
             else:
@@ -427,11 +459,13 @@ def make_wave_clean(mesh: Mesh, cfg: CubeConfig, patch: int):
             return _channel_majors(
                 cfgp, kern, tap, ps, midw, uv_c, sub_c, wp_c, anc_c,
                 val_c, wt_c, vis_c, den_c, sc_c, patch_arr, psum,
-                sky_lmn=s_lmn, sky_flux=s_flux, uvw_scales=s_scales)
+                sky_lmn=s_lmn, sky_flux=s_flux, uvw_scales=s_scales,
+                nc_slices=nc_s)
 
-        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
-                              sub_uv, w_plane, anchor, valid, weights,
-                              vis, density, psf, scale) + sky)
+        return jax.vmap(one, in_axes=(0, None))(
+            (kernel, taper1d, pixel_size, mid_w, uv,
+             sub_uv, w_plane, anchor, valid, weights,
+             vis, density, psf, scale) + sky, nc_slices)
 
     chan = P("chan")
     c5 = P("chan", None, "vis", None, None)

@@ -87,11 +87,14 @@ class ChannelBatch(NamedTuple):
 
 def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
                       mid_w, uv, sub_uv, w_plane, anchor, valid, weights,
-                      vis, vis_axis):
+                      vis, vis_axis, nc_slices=None):
     """One channel's full step on this shard's chunks.
 
     ``vis_axis`` is the mesh axis name for psum reductions (or None when
-    running unsharded).
+    running unsharded).  ``nc_slices`` (S,) int32 bounds the dense group
+    loop per w-slice to occupied chunks; it MUST be unbatched across a
+    channel vmap (callers take the max over channels) so the bound stays a
+    plain while-loop predicate rather than a masked batched loop.
     """
     N = cfg.pixels
     Pp = cfg.num_pols
@@ -109,12 +112,17 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     density = jnp.where(wgrid > 0, 1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
 
     # ---- W-stacked dirty image via the MXU chunk gridder
+    if nc_slices is None:
+        nc_slices = jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32),
+                            axis=-1)                     # (S,)
+
     def slice_body(dirty, xs):
-        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid = xs
+        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
         ext = mxu_gridder.dense_pad_size(N, cfg.rv)
         gpad = jnp.zeros((Pp, ext, ext), vis.dtype)
         gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
+            None, nc_s,
             pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
         grid = psum(gpad[:, :N, :N])
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
@@ -124,7 +132,7 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
     dirty, _ = jax.lax.scan(
         slice_body, dirty0,
-        (uv, sub_uv, w_plane, anchor, valid, vis, mid_w))
+        (uv, sub_uv, w_plane, anchor, valid, vis, mid_w, nc_slices))
 
     if cfg.minor_cycles == 0:
         return dirty, jnp.zeros_like(dirty)
@@ -164,11 +172,20 @@ def make_imaging_step(mesh: Mesh, cfg: MultiChannelConfig):
 
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
                  anchor, valid, weights, vis):
-        def one(args):
-            return _channel_pipeline(cfg, *args, vis_axis="vis")
+        # Occupied-chunk bound per w-slice, maxed over this shard's
+        # channels so the dense group loop's trip count is unbatched
+        # (see _channel_pipeline docstring).
+        nc_slices = jnp.max(
+            jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32), axis=-1),
+            axis=0)                                       # (S,)
 
-        return jax.vmap(one)((kernel, taper1d, pixel_size, mid_w, uv,
-                              sub_uv, w_plane, anchor, valid, weights, vis))
+        def one(args, nc_s):
+            return _channel_pipeline(cfg, *args, vis_axis="vis",
+                                     nc_slices=nc_s)
+
+        return jax.vmap(one, in_axes=(0, None))(
+            (kernel, taper1d, pixel_size, mid_w, uv,
+             sub_uv, w_plane, anchor, valid, weights, vis), nc_slices)
 
     chan = P("chan")
     # (C, S, NC, ...) with NC sharded over "vis"

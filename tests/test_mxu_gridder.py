@@ -99,7 +99,7 @@ def test_device_plan_matches_host(clustered):
     np.testing.assert_array_equal(np.asarray(dev["order"]), host.order)
 
 
-@pytest.mark.parametrize("assembly", ["fft", "matmul"])
+@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm"])
 def test_degrid_assembly_matches_oracle(assembly):
     rng = np.random.default_rng(29)
     kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng)
@@ -133,8 +133,8 @@ def test_autotune_measures_and_caches(tmp_path, monkeypatch):
     monkeypatch.setenv("KTPU_AUTOTUNE_CACHE", str(tmp_path / "at.json"))
     geo = dict(pixels=128, kernel_width=8, num_pols=1, ts=16, mc=32)
     best = autotune.lookup(**geo, n_vis=2048)
-    assert best["assembly"] in ("fft", "matmul")
-    assert best["group"] in (128, 256, 512, 1024, 2048)
+    assert best["assembly"] in ("fft", "matmul", "tapsmm")
+    assert best["group"] in (64, 128, 256, 512, 1024, 2048)
     # second call is a pure cache hit (no KTPU_AUTOTUNE needed)
     monkeypatch.delenv("KTPU_AUTOTUNE")
     again = autotune.lookup(**geo)
@@ -181,7 +181,7 @@ def test_chunk_plan_invariants():
 
 
 @pytest.mark.parametrize("clustered", [True, False])
-@pytest.mark.parametrize("assembly", ["fft", "matmul"])
+@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm"])
 def test_dense_grid_matches_oracle(clustered, assembly):
     rng = np.random.default_rng(19)
     kernel, uv, sub_uv, w_plane, vis, _wt, wg = random_case(
@@ -211,3 +211,56 @@ def test_dense_grid_matches_oracle(clustered, assembly):
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
     # nothing may leak outside the nominal grid... (it can live in the pad,
     # which the caller crops; just check the crop equals the oracle, done)
+
+
+@pytest.mark.parametrize("assembly", ["fft", "tapsmm"])
+def test_dense_grid_dynamic_chunk_bound(assembly):
+    """n_chunks bounds the group loop without changing the result, and a
+    too-small bound drops exactly the trailing chunks (occupied-first)."""
+    rng = np.random.default_rng(41)
+    kernel, uv, sub_uv, w_plane, vis, _wt, wg = random_case(
+        rng, clustered=True, K=12, n=600)
+    pixels = wg.shape[-1]
+    pols = vis.shape[1]
+    ts = 32
+    plan = mxu_gridder.plan_chunks_tiled(
+        uv, sub_uv, w_plane, vis, np.ones_like(_wt),
+        pixels=pixels, kernel_width=kernel.shape[-1], ts=ts, mc=64)
+    n_occ = int(plan.valid.any(axis=1).sum())
+    assert 0 < n_occ <= plan.uv.shape[0]
+    ext = mxu_gridder.dense_pad_size(pixels, ts)
+
+    def run(n_chunks):
+        gpad = jnp.zeros((pols, ext, ext), jnp.complex64)
+        out = mxu_gridder.grid_chunks_dense(
+            gpad, jnp.asarray(kernel), jnp.asarray(wg),
+            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+            jnp.asarray(plan.w_plane), jnp.asarray(plan.vis),
+            jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+            None, n_chunks,
+            pixels=pixels, ts=ts, group=32, assembly=assembly)
+        return np.asarray(out)[:, :pixels, :pixels]
+
+    full = run(None)
+    np.testing.assert_allclose(run(jnp.int32(n_occ)), full, rtol=1e-6)
+    # a bound covering only the first group grids a strict subset
+    partial_out = run(jnp.int32(1))
+    assert np.abs(partial_out).sum() < np.abs(full).sum()
+
+    # degrid: bounded loop matches, unprocessed padding passes through
+    grid = (rng.normal(size=(pols, pixels, pixels))
+            + 1j * rng.normal(size=(pols, pixels, pixels))
+            ).astype(np.complex64)
+    gpad = jnp.pad(jnp.asarray(grid), ((0, 0), (0, ts), (0, ts)))
+
+    def run_degrid(n_chunks):
+        return np.asarray(mxu_gridder.degrid_chunks_impl(
+            gpad, jnp.asarray(kernel), jnp.asarray(plan.uv),
+            jnp.asarray(plan.sub_uv), jnp.asarray(plan.w_plane),
+            jnp.asarray(plan.weights), jnp.asarray(plan.vis),
+            jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+            n_chunks, pixels=pixels, rv=ts, ru=ts, group=32,
+            assembly=assembly))
+
+    np.testing.assert_allclose(run_degrid(jnp.int32(n_occ)),
+                               run_degrid(None), rtol=1e-6, atol=1e-6)
