@@ -9,20 +9,26 @@ from typing import Iterable, List
 
 
 class SmartNamespace(argparse.Namespace):
-    """Namespace that records which attributes were explicitly set more than
-    once (i.e. by the parser after defaults)."""
+    """Namespace that records which attributes were set to a *different*
+    value after their default (reference arguments.py:9-34 semantics).
+
+    Value comparison rather than set counting matters: argparse sets
+    string-typed defaults twice (once up front, once through ``type``
+    conversion at the end of parsing), which a set counter would
+    misreport as changed."""
 
     def __init__(self, **kwargs):
-        self.__dict__["_set_count"] = {}
+        self.__dict__["_is_changed"] = set()
         super().__init__(**kwargs)
 
     def __setattr__(self, name, value):
-        counts = self.__dict__.setdefault("_set_count", {})
-        counts[name] = counts.get(name, 0) + 1
+        if (not name.startswith("_") and name in self
+                and getattr(self, name) != value):
+            self.__dict__["_is_changed"].add(name)
         super().__setattr__(name, value)
 
     def changed(self, name) -> bool:
-        return self.__dict__["_set_count"].get(name, 0) > 1
+        return name in self.__dict__["_is_changed"]
 
 
 def _format_value(value) -> List[str]:

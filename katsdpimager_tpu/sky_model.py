@@ -9,8 +9,13 @@ Supported formats:
 - whitespace-separated text like the reference's ``tests/lsm.txt``
   (``ra dec I [Q U V]`` with ra in ``h:m:s`` and dec in ``d:m:s``, or
   decimal degrees); lines starting with ``#`` are comments;
-- katpoint-catalogue and katdal-telstate models raise a clear error when
-  their (unavailable) dependencies are missing.
+- katpoint catalogue description lines (``name, tags, ra, dec, (fmin fmax
+  coefs... [I Q U V])`` with the log10-polynomial flux model), parsed
+  natively — no katpoint dependency (reference sky_model.py:67-103
+  semantics, validated against its test values);
+- katdal-telstate CLEAN-component models via
+  :func:`catalogue_from_telstate` (reference sky_model.py:104-163),
+  operating on any katsdptelstate-shaped mapping (``view``/``join``).
 """
 
 from __future__ import annotations
@@ -113,18 +118,166 @@ def parse_text_model(text: str) -> SkyModel:
                     np.array(alphas), ref_freq)
 
 
+# ---------------------------------------------------------------------------
+# katpoint catalogue format (description lines), parsed natively
+
+
+class KatpointTarget:
+    """One parsed katpoint description line.
+
+    ``name, tags, ra, dec[, (fmin_MHz fmax_MHz a0 a1 ... [I Q U V])]``:
+    the flux model is ``log10(S_I/Jy) = sum_k a_k log10(f/MHz)^k`` (up to
+    degree 5) scaled per Stokes by the optional (I, Q, U, V) factors,
+    valid only inside [fmin, fmax] (0 outside — reference katpoint
+    semantics via sky_model.py:97-101 nan_to_num)."""
+
+    def __init__(self, description: str):
+        self.description = description.strip()
+        fields = [f.strip() for f in self.description.split(",")]
+        if len(fields) < 2:
+            raise ValueError(f"Bad katpoint target {description!r}")
+        names = [n.strip() for n in fields[0].split("|")]
+        self.name = names[0]
+        self.aliases = names[1:]
+        self.tags = fields[1].split()
+        self.body_type = self.tags[0] if self.tags else ""
+        self.ra = self.dec = None
+        self.flux_range = None
+        self.flux_coefs = None
+        self.flux_scales = np.array([1.0, 0.0, 0.0, 0.0])
+        rest = fields[2:]
+        if self.body_type == "radec" and len(rest) >= 2:
+            self.ra = _parse_ra(rest[0])
+            self.dec = _parse_dec(rest[1])
+            rest = rest[2:]
+        for field in rest:
+            if field.startswith("("):
+                vals = [float(v) for v in field.strip("() \t").split()]
+                self.flux_range = (vals[0] * 1e6, vals[1] * 1e6)
+                coefs = vals[2:]
+                if len(coefs) > 6:
+                    scales = coefs[6:10]
+                    self.flux_scales = np.array(
+                        (scales + [0.0] * 4)[:4], np.float64)
+                    coefs = coefs[:6]
+                self.flux_coefs = np.array(coefs, np.float64)
+
+    def radec(self):
+        return self.ra, self.dec
+
+    #: katpoint.Target API name used by the katdal loader
+    astrometric_radec = radec
+
+    def flux_density_stokes(self, freq_hz: float) -> np.ndarray:
+        """(4,) IQUV flux in Jy at ``freq_hz`` (zeros out of range)."""
+        if self.flux_coefs is None or self.flux_range is None:
+            return np.zeros(4)
+        lo, hi = self.flux_range
+        if not (lo <= freq_hz <= hi):
+            return np.zeros(4)
+        x = math.log10(freq_hz / 1e6)
+        log_s = sum(a * x ** k for k, a in enumerate(self.flux_coefs))
+        return 10.0 ** log_s * self.flux_scales
+
+    def __eq__(self, other):
+        return (isinstance(other, KatpointTarget)
+                and self.name == other.name and self.ra == other.ra
+                and self.dec == other.dec)
+
+
+class KatpointSkyModel(SkyModel):
+    """SkyModel over parsed katpoint targets (reference sky_model.py:67)."""
+
+    def __init__(self, targets):
+        self.targets = [t if isinstance(t, KatpointTarget)
+                        else KatpointTarget(t) for t in targets]
+        positions = np.array([[t.ra, t.dec] for t in self.targets],
+                             np.float64).reshape(-1, 2)
+        # Flux handled by the katpoint model; base-class fields unused
+        super().__init__(positions, np.zeros((len(self.targets), 4)))
+
+    def flux_density(self, wavelength: float) -> np.ndarray:
+        from .units import C_M_PER_S
+
+        freq = C_M_PER_S / wavelength
+        return np.stack([t.flux_density_stokes(freq) for t in self.targets]
+                        ) if self.targets else np.zeros((0, 4))
+
+
+def parse_katpoint_catalogue(text: str) -> KatpointSkyModel:
+    lines = [ln.strip() for ln in text.splitlines()]
+    return KatpointSkyModel([ln for ln in lines
+                             if ln and not ln.startswith("#")])
+
+
+def _looks_like_katpoint(text: str) -> bool:
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        fields = line.split(",")
+        return len(fields) >= 2 and "radec" in fields[1]
+    return False
+
+
+def catalogue_from_telstate(telstate, capture_block_id, continuum,
+                            target) -> KatpointSkyModel:
+    """Extract the katsdpcontim CLEAN-component catalogue for ``target``.
+
+    ``telstate`` is any mapping with katsdptelstate's ``view(name,
+    exclusive=)``, ``join`` and ``get`` API (see
+    :class:`~.loader_katdal.SimpleTelstate`); ``target`` is a
+    :class:`KatpointTarget` or description string.  Mirrors reference
+    sky_model.py:104-163 including auto-detection of the continuum
+    stream."""
+    if not isinstance(target, KatpointTarget):
+        target = KatpointTarget(target)
+    try:
+        if continuum is None:
+            for stream_name in telstate["sdp_archived_streams"]:
+                view = telstate.view(stream_name, exclusive=True)
+                if view.get("stream_type") in ("sdp.continuum_image",
+                                               "continuum_image"):
+                    if continuum is not None:
+                        raise NoSkyModelError(
+                            "Multiple continuum image streams found - "
+                            "need to select one")
+                    continuum = stream_name
+            if continuum is None:
+                raise NoSkyModelError("No continuum image streams found")
+        view = telstate.view(continuum, exclusive=True)
+        view = view.view(telstate.join(capture_block_id, continuum))
+        target_namespace = view["targets"][target.description]
+        prefix = telstate.join(capture_block_id, continuum,
+                               target_namespace, "target0")
+        data = view.view(prefix)["clean_components"]
+        desc = data["description"]
+        if isinstance(desc, bytes):
+            desc = desc.decode("utf-8")
+        if KatpointTarget(desc) == target:
+            comps = [c.decode("utf-8") if isinstance(c, bytes) else c
+                     for c in data["components"]]
+            return KatpointSkyModel(comps)
+    except (KeyError, TypeError):
+        pass
+    raise NoSkyModelError(f"Sky model for target {target.name} not found")
+
+
 def open_sky_model(url: str) -> SkyModel:
     """Open a sky model from a URL/path, with ``format=`` query parameter
-    (parity with reference sky_model.py:166-233)."""
+    (parity with reference sky_model.py:166-233).  ``format=text`` sniffs
+    katpoint description lines so reference catalogues load either way."""
     parsed = urllib.parse.urlparse(url)
     params = urllib.parse.parse_qs(parsed.query)
     fmt = params.get("format", ["text"])[0]
     path = parsed.path or url.split("?")[0]
     if fmt in ("text", "lsm"):
         with open(path) as f:
-            return parse_text_model(f.read())
+            text = f.read()
+        if _looks_like_katpoint(text):
+            return parse_katpoint_catalogue(text)
+        return parse_text_model(text)
     if fmt == "katpoint":
-        raise NoSkyModelError(
-            "katpoint catalogue models require the katpoint package, which "
-            "is not available in this build")
+        with open(path) as f:
+            return parse_katpoint_catalogue(f.read())
     raise ValueError(f"Unknown sky model format {fmt!r}")
