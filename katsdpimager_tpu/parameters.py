@@ -186,6 +186,14 @@ def w_slices(image_parameters: ImageParameters, max_w_m: float, eps_w: float,
             image_parameters, half_max_w / (slices - 0.5), eps_w, antialias_width
         )
 
+    # Even at w -> 0 the kernel cannot shrink below the anti-alias width;
+    # guard the search or it doubles `hi` forever.
+    if w_kernel_width(image_parameters, 0.0, eps_w,
+                      antialias_width) > kernel_width:
+        raise ValueError(
+            f"kernel_width {kernel_width} is too small for the "
+            f"anti-alias kernel (width {antialias_width}); increase "
+            f"--kernel-width or reduce --aa-width")
     while measure(hi) > kernel_width:
         hi *= 2
     while hi - lo > 1:
