@@ -28,7 +28,10 @@ def main():
     geo = dict(pixels=4096, kernel_width=60, num_pols=1, ts=64, mc=256)
     n_vis = 1 << 20
     for cand in cands:
-        assembly, group = cand.split(":")
+        parts = cand.split(":")
+        assembly, group = parts[0], parts[1]
+        if len(parts) > 2:
+            geo = dict(geo, mc=int(parts[2]))
         t0 = time.perf_counter()
         dt = autotune._measure(assembly, int(group), **geo, n_vis=n_vis)
         wall = time.perf_counter() - t0

@@ -119,18 +119,24 @@ def make_dirty(reader, rel_channel, name, field, imager, vis_block,
         if reader.len(rel_channel, w_slice) == 0:
             continue
         imager.clear_grid()
-        chunk = reader.slice_arrays(rel_channel, w_slice)
-        vis = chunk[field]
-        if subtract_model:
-            vis = imager.continuum_predict(chunk, vis, w_slice)
-        if full_cycle:
-            if degrid:
-                model_grid = imager.model_to_grid(imager.mid_w[w_slice])
-                vis = imager.degrid_slice(chunk, vis, model_grid, w_slice)
-            else:
-                vis = imager.model_predict(chunk, vis, w_slice)
-        with profile(f"grid_slice_{w_slice}"):
-            imager.grid_slice(chunk, vis, w_slice)
+        model_grid = (imager.model_to_grid(imager.mid_w[w_slice])
+                      if full_cycle and degrid else None)
+        # Stream the slice in vis_block-bounded blocks (spill backends
+        # recycle one read buffer, keeping host memory flat regardless of
+        # slice size; gridding is additive so per-block plans compose).
+        for block, chunk in enumerate(
+                reader.iter_slice(rel_channel, w_slice, vis_block)):
+            vis = chunk[field]
+            if subtract_model:
+                vis = imager.continuum_predict(chunk, vis, w_slice)
+            if full_cycle:
+                if degrid:
+                    vis = imager.degrid_slice(chunk, vis, model_grid,
+                                              w_slice, block)
+                else:
+                    vis = imager.model_predict(chunk, vis, w_slice)
+            with profile(f"grid_slice_{w_slice}"):
+                imager.grid_slice(chunk, vis, w_slice, block)
         with profile(f"grid_to_image_{w_slice}"):
             imager.grid_to_image(w_slice)
 

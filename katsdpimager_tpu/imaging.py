@@ -160,10 +160,23 @@ class Imaging:
             self.grid, self.kernel, self.weights.grid, uv, sub_uv, w_plane,
             xfer.device_complex(_pad_to(vis, n)), pixels=self.pixels)
 
-    def _slice_plan(self, chunk, w_slice: int):
+    @staticmethod
+    def _plan_key(chunk, w_slice: int, block: int):
+        """Plan cache key: (w_slice, block, size, coordinate fingerprint).
+
+        The fingerprint (a strided sum of the uv coordinates) guards the
+        cache against a caller that re-plans with *changed* coordinates of
+        equal length — coordinates are fixed across major cycles today,
+        but nothing else asserts it."""
+        uv = np.asarray(chunk.uv)
+        n = len(uv)
+        fp = int(uv[:: max(1, n // 64)].sum(dtype=np.int64)) if n else 0
+        return (w_slice, block, n, fp)
+
+    def _slice_plan(self, chunk, w_slice: int, block: int = 0):
         """(host_plan, device_plan) pair; the device mirror is uploaded
         once so per-pass grid/degrid calls move no plan data."""
-        key = (w_slice, len(chunk.uv))
+        key = self._plan_key(chunk, w_slice, block)
         entry = self._plans.get(key)
         if entry is None:
             host = self._mxu.plan(chunk.uv, chunk.sub_uv, chunk.w_plane,
@@ -173,10 +186,11 @@ class Imaging:
             self._plans[key] = entry
         return entry
 
-    def grid_slice(self, chunk, vis, w_slice: int):
-        """Grid a whole (channel, w_slice) visibility set via the MXU
-        dense-matmul gridder.  ``vis`` may be numpy or device-resident."""
-        host_plan, plan = self._slice_plan(chunk, w_slice)
+    def grid_slice(self, chunk, vis, w_slice: int, block: int = 0):
+        """Grid a (channel, w_slice) visibility set (or one streamed block
+        of it) via the MXU dense-matmul gridder.  ``vis`` may be numpy or
+        device-resident."""
+        host_plan, plan = self._slice_plan(chunk, w_slice, block)
         if plan.uv.shape[0] == 0:
             return
         if not isinstance(vis, jnp.ndarray):
@@ -184,7 +198,7 @@ class Imaging:
         else:
             vis = vis.astype(jnp.complex64)
         vis_chunked = self._mxu.chunk_vis(plan, vis)
-        key = (w_slice, len(chunk.uv))
+        key = self._plan_key(chunk, w_slice, block)
         dw = self._dw_cache.get(key)
         if dw is None and self._mxu.mode == "dense":
             wg = np.asarray(self.weights.grid)
@@ -197,10 +211,11 @@ class Imaging:
                                    self.weights.grid, plan,
                                    vis_chunked=vis_chunked, dw_chunks=dw)
 
-    def degrid_slice(self, chunk, vis, model_grid, w_slice: int):
-        """Subtract degridded model visibilities for a whole slice; the
-        result stays on device."""
-        _host_plan, plan = self._slice_plan(chunk, w_slice)
+    def degrid_slice(self, chunk, vis, model_grid, w_slice: int,
+                     block: int = 0):
+        """Subtract degridded model visibilities for a slice (or one
+        streamed block); the result stays on device."""
+        _host_plan, plan = self._slice_plan(chunk, w_slice, block)
         if not isinstance(vis, jnp.ndarray):
             vis = xfer.device_complex(np.asarray(vis))
         vis_chunked = self._mxu.chunk_vis(plan, vis)

@@ -490,7 +490,7 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         # Measured on v5e: small groups keep the band-scatter working set
         # down for the matmul assemblies; the iFFT path amortizes its FFT
         # batches better with large groups.
-        group = 128 if assembly in ("matmul", "tapsmm") else 2048
+        group = 128 if assembly != "fft" else 2048
     K = kernel.shape[-1]
     Np = pixels
     half = Np // 2
@@ -509,7 +509,7 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     W, O = kernel.shape[0], kernel.shape[1]
     kflat = kernel_fft.reshape(W * O, L)
     uv_bias = (K - 1) // 2 - Np // 2
-    if assembly in ("matmul", "tapsmm"):
+    if assembly != "fft":
         tk = np.arange(L)
         G = jnp.asarray(
             np.exp(2j * np.pi * np.outer(tk, tk) / L).astype(np.complex64)
@@ -521,6 +521,50 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         ramp_tab = jnp.asarray(np.exp(
             -2j * np.pi * np.outer(np.arange(TS2), tk) / L
         ).astype(np.complex64))
+    if assembly == "onehot":
+        # HBM row-gathers dominate the assembly stage on TPU (measured 43
+        # of 63 ms at the 4k/K=60 point); expressing the row selection as
+        # one-hot MXU matmuls instead trades them for cheap systolic work.
+        # The one-hot operand is exact in bf16, so it runs single-pass
+        # (Precision.DEFAULT) while the table operand keeps full f32
+        # (HIGHEST) — the result is bit-comparable to the f32 gather path.
+        kflat_ri = jnp.concatenate([kflat.real, kflat.imag], axis=-1)
+        ramp_ri = jnp.concatenate([ramp_tab[:ts].real,
+                                   ramp_tab[:ts].imag], axis=-1)
+        _oh_prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
+        def onehot_S(idx, off):
+            oh_spec = (idx[:, None] == jnp.arange(W * O, dtype=idx.dtype)
+                       ).astype(jnp.float32)
+            oh_ramp = (off[:, None] == jnp.arange(ts, dtype=off.dtype)
+                       ).astype(jnp.float32)
+            sp = jnp.dot(oh_spec, kflat_ri, precision=_oh_prec)
+            rp = jnp.dot(oh_ramp, ramp_ri, precision=_oh_prec)
+            return (jax.lax.complex(sp[:, :L], sp[:, L:])
+                    * jax.lax.complex(rp[:, :L], rp[:, L:]))
+    if assembly == "joint":
+        # One gather instead of two + an elementwise pass: precompute the
+        # joint table ``kflat[j] * ramp[o]`` over all (kernel row, shift)
+        # pairs — (W*O*ts, L) complex, built once per call — and gather
+        # Su/Sv rows by the fused index.  Halves the assembly-stage HBM
+        # traffic relative to ``matmul``.
+        joint_tab = (kflat[:, None, :]
+                     * ramp_tab[None, :ts, :]).reshape(W * O * ts, L)
+    if assembly == "tapdict":
+        # Go one step further than ``joint``: precompute the fully *shifted
+        # tap rows* — ``taps_tab[(j, o), t] = kernel[j, t - o]`` for every
+        # (kernel row, in-tile shift) pair, (W*O*ts, ts+K) complex — so a
+        # chunk needs ONE row gather per factor matrix and ONE rank-Mc band
+        # matmul: no spectral core, no G transforms.  Exact (integer-shift
+        # placement, no DFT roundoff); table is ~16 MB at the 4k/K=60/
+        # 32-w-plane point and is built once per call.
+        kr = kernel.reshape(W * O, K)
+        rel = np.arange(TSK)[None, :] - np.arange(ts)[:, None]  # (ts, TSK)
+        mask_np = (rel >= 0) & (rel < K)
+        relc = np.clip(rel, 0, K - 1)
+        taps_tab = jnp.where(
+            jnp.asarray(mask_np)[None], kr[:, jnp.asarray(relc)], 0
+        ).reshape(W * O * ts, TSK)
 
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC
@@ -567,13 +611,41 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                               preferred_element_type=grid_pad.dtype)
             return jnp.pad(band, ((0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
 
+        def one_tapdict(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
+            u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, ts - 1)
+            v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, ts - 1)
+            Utap = taps_tab[(wp_c * O + sub_c[:, 0]) * ts + u0r]  # (Mc,TSK)
+            Vt = taps_tab[(wp_c * O + sub_c[:, 1]) * ts + v0r]
+            # invalid slots gather garbage rows; their samples are zero, so
+            # the rank-1 terms they contribute vanish.
+            sample = sample_of(uv_c, vis_c, val_c, dw_c)
+            V = jnp.conj(Vt).T
+            US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
+            band = jnp.einsum("rm,pmc->prc", V, US,
+                              precision=_PRECISION,
+                              preferred_element_type=grid_pad.dtype)
+            return jnp.pad(band, ((0, 0), (0, TS2 - TSK), (0, TS2 - TSK)))
+
         def one_matmul(uv_c, sub_c, wp_c, vis_c, anc_c, val_c, dw_c):
-            u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, TS2 - 1)
-            v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, TS2 - 1)
-            spec_u = kflat[wp_c * O + sub_c[:, 0]]   # (Mc, L)
-            spec_v = kflat[wp_c * O + sub_c[:, 1]]
-            Su = spec_u * ramp_tab[u0r]
-            Sv = spec_v * ramp_tab[v0r]
+            if assembly == "onehot":
+                # tile-aligned plans put offsets in [0, ts); padding slots
+                # may clip anywhere — their samples are masked to zero.
+                u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, ts - 1)
+                v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, ts - 1)
+                Su = onehot_S(wp_c * O + sub_c[:, 0], u0r)
+                Sv = onehot_S(wp_c * O + sub_c[:, 1], v0r)
+            elif assembly == "joint":
+                u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, ts - 1)
+                v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, ts - 1)
+                Su = joint_tab[(wp_c * O + sub_c[:, 0]) * ts + u0r]
+                Sv = joint_tab[(wp_c * O + sub_c[:, 1]) * ts + v0r]
+            else:
+                u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, TS2 - 1)
+                v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, TS2 - 1)
+                spec_u = kflat[wp_c * O + sub_c[:, 0]]   # (Mc, L)
+                spec_v = kflat[wp_c * O + sub_c[:, 1]]
+                Su = spec_u * ramp_tab[u0r]
+                Sv = spec_v * ramp_tab[v0r]
             sample = sample_of(uv_c, vis_c, val_c, dw_c)
             core = jnp.einsum("mk,pm,ml->pkl", Sv, jnp.conj(sample), Su,
                               precision=_PRECISION,
@@ -618,7 +690,8 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         if assembly == "tapsmm":
             bands = group_tapsmm(uv, sub, wp, vis, anchor, valid, dwx)
         else:
-            one = one_matmul if assembly == "matmul" else one_fft
+            one = {"fft": one_fft,
+                   "tapdict": one_tapdict}.get(assembly, one_matmul)
             if dwx is None:
                 bands = jax.vmap(
                     lambda a, b, c, d, e, f: one(a, b, c, d, e, f, None)
@@ -680,13 +753,16 @@ def occupied_chunks(valid) -> jnp.ndarray:
 
 
 def default_assembly() -> str:
-    """Band-assembly default: all-matmul on TPU (the MXU is idle and the
-    TPU FFT is memory-bound), iFFT materialization elsewhere.  Override
-    with KTPU_GRID_ASSEMBLY=fft|matmul."""
+    """Band-assembly default: shifted-tap dictionary on TPU (v5e sweep:
+    tapdict 86 GGAPS vs matmul 59 vs fft 20 at the 4k/K=60/1M-vis point —
+    HBM row-gathers, not matmuls, bound the assembly stage, and the
+    precomputed dictionary needs one gather per factor), iFFT
+    materialization elsewhere.  Override with
+    KTPU_GRID_ASSEMBLY=fft|matmul|tapsmm|onehot|joint|tapdict."""
     env = os.environ.get("KTPU_GRID_ASSEMBLY")
-    if env in ("fft", "matmul"):
+    if env in ("fft", "matmul", "tapsmm", "onehot", "joint", "tapdict"):
         return env
-    return "matmul" if jax.devices()[0].platform == "tpu" else "fft"
+    return "tapdict" if jax.devices()[0].platform == "tpu" else "fft"
 
 
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
@@ -705,7 +781,7 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     through unchanged.
     """
     if group is None:
-        group = 128 if assembly in ("matmul", "tapsmm") else 512
+        group = 128 if assembly != "fft" else 512
     K = kernel.shape[-1]
     Np = pixels
     Pp = plan_vis.shape[-1]
@@ -717,7 +793,7 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     W, O = kernel.shape[0], kernel.shape[1]
     kflat = kernel_fft.reshape(W * O, L)
     uv_bias = (K - 1) // 2 - Np // 2
-    if assembly in ("matmul", "tapsmm"):
+    if assembly != "fft":
         tk = np.arange(L)
         G = jnp.asarray(
             np.exp(2j * np.pi * np.outer(tk, tk) / L).astype(np.complex64)
@@ -728,6 +804,42 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         ramp_tab = jnp.asarray(np.exp(
             -2j * np.pi * np.outer(np.arange(L), tk) / L
         ).astype(np.complex64))
+    if assembly == "onehot":
+        # One-hot MXU row selection instead of HBM gathers (see
+        # grid_chunks_dense_impl); non-tiled plans bound the in-window
+        # offset by the chunk bbox constraint, i.e. [0, max(rv, ru)].
+        R_off = max(rv, ru) + 1
+        kflat_ri = jnp.concatenate([kflat.real, kflat.imag], axis=-1)
+        ramp_ri = jnp.concatenate([ramp_tab[:R_off].real,
+                                   ramp_tab[:R_off].imag], axis=-1)
+        _oh_prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
+        def onehot_S(idx, off):
+            oh_spec = (idx[:, None] == jnp.arange(W * O, dtype=idx.dtype)
+                       ).astype(jnp.float32)
+            oh_ramp = (off[:, None] == jnp.arange(R_off, dtype=off.dtype)
+                       ).astype(jnp.float32)
+            sp = jnp.dot(oh_spec, kflat_ri, precision=_oh_prec)
+            rp = jnp.dot(oh_ramp, ramp_ri, precision=_oh_prec)
+            return (jax.lax.complex(sp[:, :L], sp[:, L:])
+                    * jax.lax.complex(rp[:, :L], rp[:, L:]))
+    if assembly == "joint":
+        # Fused (kernel row, shift) table: one gather per factor matrix
+        # (see grid_chunks_dense_impl).
+        R_off = max(rv, ru) + 1
+        joint_tab = (kflat[:, None, :]
+                     * ramp_tab[None, :R_off, :]).reshape(W * O * R_off, L)
+    if assembly == "tapdict":
+        # Precomputed shifted tap rows (see grid_chunks_dense_impl).
+        R_off = max(rv, ru) + 1
+        TL = max(rv, ru) + K
+        kr = kernel.reshape(W * O, K)
+        rel = np.arange(TL)[None, :] - np.arange(R_off)[:, None]
+        mask_np = (rel >= 0) & (rel < K)
+        relc = np.clip(rel, 0, K - 1)
+        taps_tab = jnp.where(
+            jnp.asarray(mask_np)[None], kr[:, jnp.asarray(relc)], 0
+        ).reshape(W * O * R_off, TL)
 
     def window(anchor):
         return jax.lax.dynamic_slice(
@@ -745,12 +857,23 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         return vis - wt * predicted.T.astype(vis.dtype)
 
     def one_matmul(uv, sub, wp, wt, vis, anchor, valid):
-        u0r = jnp.clip(uv[:, 0] - uv_bias - anchor[1], 0, L - 1)
-        v0r = jnp.clip(uv[:, 1] - uv_bias - anchor[0], 0, L - 1)
-        spec_u = kflat[wp * O + sub[:, 0]]   # (Mc, L)
-        spec_v = kflat[wp * O + sub[:, 1]]
-        Su = spec_u * ramp_tab[u0r]
-        Sv = spec_v * ramp_tab[v0r]
+        if assembly == "onehot":
+            u0r = jnp.clip(uv[:, 0] - uv_bias - anchor[1], 0, R_off - 1)
+            v0r = jnp.clip(uv[:, 1] - uv_bias - anchor[0], 0, R_off - 1)
+            Su = onehot_S(wp * O + sub[:, 0], u0r)
+            Sv = onehot_S(wp * O + sub[:, 1], v0r)
+        elif assembly == "joint":
+            u0r = jnp.clip(uv[:, 0] - uv_bias - anchor[1], 0, R_off - 1)
+            v0r = jnp.clip(uv[:, 1] - uv_bias - anchor[0], 0, R_off - 1)
+            Su = joint_tab[(wp * O + sub[:, 0]) * R_off + u0r]
+            Sv = joint_tab[(wp * O + sub[:, 1]) * R_off + v0r]
+        else:
+            u0r = jnp.clip(uv[:, 0] - uv_bias - anchor[1], 0, L - 1)
+            v0r = jnp.clip(uv[:, 1] - uv_bias - anchor[0], 0, L - 1)
+            spec_u = kflat[wp * O + sub[:, 0]]   # (Mc, L)
+            spec_v = kflat[wp * O + sub[:, 1]]
+            Su = spec_u * ramp_tab[u0r]
+            Sv = spec_v * ramp_tab[v0r]
         win = window(anchor)
         wspec = jnp.einsum("kr,prc,lc->pkl", Gr, win, Gc,
                            precision=_PRECISION,
@@ -778,7 +901,20 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         predicted = predicted * valid[:, None, :]
         return vis - wt * jnp.swapaxes(predicted, 1, 2).astype(vis.dtype)
 
-    one = one_matmul if assembly == "matmul" else one_fft
+    def one_tapdict(uv, sub, wp, wt, vis, anchor, valid):
+        u0r = jnp.clip(uv[:, 0] - uv_bias - anchor[1], 0, R_off - 1)
+        v0r = jnp.clip(uv[:, 1] - uv_bias - anchor[0], 0, R_off - 1)
+        Utap = taps_tab[(wp * O + sub[:, 0]) * R_off + u0r][:, :ru + K]
+        Vt = taps_tab[(wp * O + sub[:, 1]) * R_off + v0r][:, :rv + K]
+        win = window(anchor)
+        T = jnp.einsum("mr,prc->pmc", Vt, win, precision=_PRECISION,
+                       preferred_element_type=grid.dtype)
+        predicted = jnp.sum(T * Utap[None, :, :], axis=-1)  # (P, Mc)
+        predicted = predicted * valid[None, :]
+        return vis - wt * predicted.T.astype(vis.dtype)
+
+    one = {"fft": one_fft,
+           "tapdict": one_tapdict}.get(assembly, one_matmul)
 
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC

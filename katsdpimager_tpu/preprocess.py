@@ -392,6 +392,12 @@ class VisibilityReader:
             np.concatenate([b["vis"] for b in bs]),
         )
 
+    def slice_coords(self, channel: int, w_slice: int):
+        """(uv, sub_uv, w_plane) only — for planning passes that do not
+        need payloads (spares the vis/weights read on spill backends)."""
+        c = self.slice_arrays(channel, w_slice)
+        return c.uv, c.sub_uv, c.w_plane
+
     def iter_slice(self, channel: int, w_slice: int, block_size: Optional[int] = None):
         arrays = self.slice_arrays(channel, w_slice)
         n = len(arrays)
@@ -507,26 +513,71 @@ class VisibilityCollectorHDF5(VisibilityCollector):
         return VisibilityReaderHDF5(self)
 
     def close(self):
+        # Flush buffered writes so a crash between collection and read-back
+        # cannot lose data; the file handle stays open for the reader.
         super().close()
+        self._file.flush()
 
 
 class VisibilityReaderHDF5(VisibilityReader):
+    def _dset(self, channel, w_slice):
+        return self._collector._dsets.get(f"ch{channel}/ws{w_slice}")
+
+    def _empty(self):
+        P = self._collector.num_pols
+        z = np.zeros
+        return VisChunk(z((0, 2), np.int16), z((0, 2), np.int16),
+                        z((0,), np.int16), z((0, P), np.float32),
+                        z((0, P), np.complex64))
+
     def len(self, channel, w_slice):
-        key = f"ch{channel}/ws{w_slice}"
-        d = self._collector._dsets.get(key)
+        d = self._dset(channel, w_slice)
         return 0 if d is None else d["uv"].shape[0]
 
     def slice_arrays(self, channel, w_slice):
-        key = f"ch{channel}/ws{w_slice}"
-        d = self._collector._dsets.get(key)
+        d = self._dset(channel, w_slice)
         if d is None:
-            P = self._collector.num_pols
-            z = np.zeros
-            return VisChunk(z((0, 2), np.int16), z((0, 2), np.int16),
-                            z((0,), np.int16), z((0, P), np.float32),
-                            z((0, P), np.complex64))
+            return self._empty()
         return VisChunk(d["uv"][:], d["sub_uv"][:], d["w_plane"][:],
                         d["weights"][:], d["vis"][:])
+
+    def slice_coords(self, channel, w_slice):
+        """Read only the coordinate datasets (planning passes skip the
+        vis/weights payload — ~80% of the slice bytes at P=4)."""
+        d = self._dset(channel, w_slice)
+        if d is None:
+            e = self._empty()
+            return e.uv, e.sub_uv, e.w_plane
+        return d["uv"][:], d["sub_uv"][:], d["w_plane"][:]
+
+    def iter_slice(self, channel, w_slice, block_size=None):
+        """Stream fixed-size blocks through a recycled buffer
+        (``read_direct``, no per-block allocation) so read-back host memory
+        is bounded by ``block_size`` — parity with reference
+        preprocess.py:341-377.  Yielded chunks are views into the buffer:
+        consume each before advancing the iterator."""
+        d = self._dset(channel, w_slice)
+        if d is None:
+            return
+        n = d["uv"].shape[0]
+        if n == 0:
+            return
+        if block_size is None or block_size >= n:
+            yield self.slice_arrays(channel, w_slice)
+            return
+        P = self._collector.num_pols
+        buf = VisChunk(np.empty((block_size, 2), np.int16),
+                       np.empty((block_size, 2), np.int16),
+                       np.empty((block_size,), np.int16),
+                       np.empty((block_size, P), np.float32),
+                       np.empty((block_size, P), np.complex64))
+        for start in range(0, n, block_size):
+            m = min(block_size, n - start)
+            src = np.s_[start:start + m]
+            for name in ("uv", "sub_uv", "w_plane", "weights", "vis"):
+                d[name].read_direct(buf[name], src, np.s_[:m])
+            yield VisChunk(buf.uv[:m], buf.sub_uv[:m], buf.w_plane[:m],
+                           buf.weights[:m], buf.vis[:m])
 
     def close(self):
         self._collector._file.close()

@@ -99,7 +99,7 @@ def test_device_plan_matches_host(clustered):
     np.testing.assert_array_equal(np.asarray(dev["order"]), host.order)
 
 
-@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm"])
+@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm", "onehot", "joint", "tapdict"])
 def test_degrid_assembly_matches_oracle(assembly):
     rng = np.random.default_rng(29)
     kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng)
@@ -133,7 +133,8 @@ def test_autotune_measures_and_caches(tmp_path, monkeypatch):
     monkeypatch.setenv("KTPU_AUTOTUNE_CACHE", str(tmp_path / "at.json"))
     geo = dict(pixels=128, kernel_width=8, num_pols=1, ts=16, mc=32)
     best = autotune.lookup(**geo, n_vis=2048)
-    assert best["assembly"] in ("fft", "matmul", "tapsmm")
+    assert best["assembly"] in ("fft", "matmul", "tapsmm", "onehot",
+                                "joint", "tapdict")
     assert best["group"] in (64, 128, 256, 512, 1024, 2048)
     # second call is a pure cache hit (no KTPU_AUTOTUNE needed)
     monkeypatch.delenv("KTPU_AUTOTUNE")
@@ -181,7 +182,7 @@ def test_chunk_plan_invariants():
 
 
 @pytest.mark.parametrize("clustered", [True, False])
-@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm"])
+@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm", "onehot", "joint", "tapdict"])
 def test_dense_grid_matches_oracle(clustered, assembly):
     rng = np.random.default_rng(19)
     kernel, uv, sub_uv, w_plane, vis, _wt, wg = random_case(

@@ -202,3 +202,38 @@ class TestHDF5Backend:
             np.testing.assert_array_equal(a.uv, b.uv)
             np.testing.assert_allclose(a.vis, b.vis)
         rh.close()
+
+    def test_iter_slice_streams_blocks(self, tmp_path):
+        """Block-streamed read-back (recycled buffer) equals the one-shot
+        slice; coordinate-only reads match too."""
+        ip, gp = make_params()
+        rng = np.random.RandomState(7)
+        uvw = rng.uniform(-500, 500, (300, 3)).astype(np.float32) * 10
+        vis = (rng.normal(size=(1, 300, 1))
+               + 1j * rng.normal(size=(1, 300, 1))).astype(np.complex64)
+        weights = np.ones((1, 300, 1), np.float32)
+        mueller = np.eye(1, dtype=np.complex64)
+        ch5 = preprocess.VisibilityCollectorHDF5(
+            str(tmp_path / "vis.h5"), [ip], [gp])
+        ch5.add(uvw, weights, vis, mueller_stokes=mueller)
+        ch5.close()
+        r = ch5.reader()
+        for s in range(gp.w_slices):
+            whole = r.slice_arrays(0, s)
+            # yielded chunks are views into a recycled buffer: copy
+            blocks = [
+                preprocess.VisChunk(*(c[f].copy() for f in (
+                    "uv", "sub_uv", "w_plane", "weights", "vis")))
+                for c in r.iter_slice(0, s, 37)]
+            assert sum(len(b) for b in blocks) == len(whole)
+            if not blocks:
+                continue
+            for field in ("uv", "sub_uv", "w_plane", "weights", "vis"):
+                np.testing.assert_array_equal(
+                    np.concatenate([b[field] for b in blocks]),
+                    whole[field])
+            cu, cs, cw = r.slice_coords(0, s)
+            np.testing.assert_array_equal(cu, whole.uv)
+            np.testing.assert_array_equal(cs, whole.sub_uv)
+            np.testing.assert_array_equal(cw, whole.w_plane)
+        r.close()
