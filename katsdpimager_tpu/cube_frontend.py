@@ -162,6 +162,9 @@ def run_cube(args, dataset, writer) -> None:
     wave_size = mesh.shape["chan"]
     clean_mode = (clean_ops.CLEAN_I if args.clean_mode == "I"
                   else clean_ops.CLEAN_SUMSQ)
+    clean_p = parameters.CleanParameters(
+        args.minor, args.loop_gain, args.major_gain, args.threshold,
+        clean_mode, args.psf_cutoff, args.psf_limit, args.border)
 
     # Continuum-subtraction sky model (reference frontend.py:544-549)
     if args.subtract == "auto":
@@ -303,14 +306,17 @@ def run_cube(args, dataset, writer) -> None:
                         wave_channels, patch, patch, need)
             if patch not in clean_fns:
                 clean_fns[patch] = cube.make_wave_clean(mesh, cfg, patch)
-            residual, model, noise_j = clean_fns[patch](batch, psf_res, sky)
+            residual, model, noise_j, minor_j = clean_fns[patch](
+                batch, psf_res, sky)
             half = cfg.pixels // 2
             c0 = half - cfg.psf_core // 2
             cores = psf_np[:, :, c0:c0 + cfg.psf_core,
                            c0:c0 + cfg.psf_core]
             ms, fitted_beams = cube.fit_wave_beams(cores)
             result = cube.WaveResult(residual, model, jnp.asarray(cores),
-                                     noise_j, psf_res.psf_peak)
+                                     noise_j, psf_res.psf_peak, minor_j,
+                                     psf_res.weights_noise,
+                                     psf_res.normalized_noise)
             patch_used = patch
         else:
             result = (wave_fn(batch, sky) if sky is not None
@@ -334,6 +340,9 @@ def run_cube(args, dataset, writer) -> None:
         final = np.asarray(restore_fn(*restore_args))
         noise = np.asarray(result.noise)
         psf_peaks = np.asarray(result.psf_peak)
+        minors = np.asarray(result.minor)
+        w_noise = np.asarray(result.weights_noise)
+        norm_noise = np.asarray(result.normalized_noise)
         for i, ch in enumerate(wave_channels):
             rel = ch - start
             image_p = image_ps[rel]
@@ -347,13 +356,15 @@ def run_cube(args, dataset, writer) -> None:
                      else np.ones(final[i].shape[-2:], final.dtype))
             peak = frontend.find_peak(final[i], pbeam, float(noise[i]))
             totals = frontend.get_totals(image_p, final[i], fitted_beams[i])
+            wn = w_noise[i]
             writer.statistics(
-                dataset, ch, major=cfg.majors, minor=-1, peak=peak,
-                totals=totals, noise=float(noise[i]), weights_noise=None,
-                normalized_noise=1.0,
+                dataset, ch, major=cfg.majors, minor=int(minors[i]),
+                peak=peak, totals=totals, noise=float(noise[i]),
+                weights_noise=(None if wn < 0 else float(wn)),
+                normalized_noise=float(norm_noise[i]),
                 psf_patch_size=(patch_used, patch_used),
                 compressed_vis=sum(
                     reader.len(rel, s) for s in range(w_slices)),
                 image_parameters=image_p, grid_parameters=grid_ps[rel],
-                clean_parameters=None, restoring_beam=fitted_beams[i])
+                clean_parameters=clean_p, restoring_beam=fitted_beams[i])
         reader.close()

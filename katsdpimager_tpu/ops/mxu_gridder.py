@@ -583,6 +583,14 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     else:
         dw_g = None
 
+    # Per-vis density lookups: a chunk's cells lie inside a (ts, ts)
+    # window at its anchor, so slice the window (one dense DMA read) and
+    # gather locally instead of issuing Mc random HBM gathers per chunk —
+    # measured 38 ms -> ~2 ms for 2M lookups on a 4k grid (v5e).
+    _kb = (K - 1) // 2
+    wg_pad = (None if dw_chunks is not None
+              else jnp.pad(weights_grid, ((0, 0), (0, ts), (0, ts))))
+
     def group_body(T, xs):
         if dw_g is None:
             uv, sub, wp, vis, anchor, valid = xs
@@ -590,11 +598,15 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         else:
             uv, sub, wp, vis, anchor, valid, dwx = xs
 
-        def sample_of(uv_c, vis_c, val_c, dw_c):
+        def sample_of(uv_c, anc_c, vis_c, val_c, dw_c):
             if dw_c is None:
-                uq = uv_c[:, 0] + half
-                vq = uv_c[:, 1] + half
-                dw = weights_grid[:, vq, uq]
+                zero = jnp.zeros((), anc_c.dtype)
+                win = jax.lax.dynamic_slice(
+                    wg_pad, (zero, anc_c[0] + _kb, anc_c[1] + _kb),
+                    (Pp, ts, ts))
+                u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, ts - 1)
+                v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, ts - 1)
+                dw = win[:, v0r, u0r]
             else:
                 dw = dw_c.T
             return vis_c.T * dw * val_c[None, :]
@@ -603,7 +615,7 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             Vt, Utap = _chunk_factors_fft(kernel_fft, K, uv_c, sub_c, wp_c,
                                           anc_c, val_c, pixels=Np, rv=ts,
                                           ru=ts)
-            sample = sample_of(uv_c, vis_c, val_c, dw_c)
+            sample = sample_of(uv_c, anc_c, vis_c, val_c, dw_c)
             V = jnp.conj(Vt).T
             US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
             band = jnp.einsum("rm,pmc->prc", V, US,
@@ -618,7 +630,7 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             Vt = taps_tab[(wp_c * O + sub_c[:, 1]) * ts + v0r]
             # invalid slots gather garbage rows; their samples are zero, so
             # the rank-1 terms they contribute vanish.
-            sample = sample_of(uv_c, vis_c, val_c, dw_c)
+            sample = sample_of(uv_c, anc_c, vis_c, val_c, dw_c)
             V = jnp.conj(Vt).T
             US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
             band = jnp.einsum("rm,pmc->prc", V, US,
@@ -646,7 +658,7 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                 spec_v = kflat[wp_c * O + sub_c[:, 1]]
                 Su = spec_u * ramp_tab[u0r]
                 Sv = spec_v * ramp_tab[v0r]
-            sample = sample_of(uv_c, vis_c, val_c, dw_c)
+            sample = sample_of(uv_c, anc_c, vis_c, val_c, dw_c)
             core = jnp.einsum("mk,pm,ml->pkl", Sv, jnp.conj(sample), Su,
                               precision=_PRECISION,
                               preferred_element_type=grid_pad.dtype)
@@ -675,10 +687,11 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             Bv = (Sv.reshape(g * Mc, L) @ Gt).reshape(g, Mc, TSK)
             if dwx is None:
                 sample = jax.vmap(
-                    lambda uv_c, vis_c, val_c: sample_of(
-                        uv_c, vis_c, val_c, None))(uv, vis, valid)
+                    lambda uv_c, anc_c, vis_c, val_c: sample_of(
+                        uv_c, anc_c, vis_c, val_c, None))(uv, anchor, vis,
+                                                          valid)
             else:
-                sample = jax.vmap(sample_of)(uv, vis, valid, dwx)
+                sample = jax.vmap(sample_of)(uv, anchor, vis, valid, dwx)
             # band[g,p,r,c] = sum_m conj(Bv)[g,m,r] sample[g,p,m] conj(Bu)[g,m,c]
             US = sample[..., None] * jnp.conj(Bu)[:, None, :, :]
             band = jnp.einsum("gmr,gpmc->gprc", jnp.conj(Bv), US,

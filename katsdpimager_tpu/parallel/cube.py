@@ -95,6 +95,9 @@ class WaveResult(NamedTuple):
     psf_core: jnp.ndarray   # (C, P, core, core)
     noise: jnp.ndarray      # (C,)
     psf_peak: jnp.ndarray   # (C, P)
+    minor: jnp.ndarray      # (C,) int32 total minor cycles over majors
+    weights_noise: jnp.ndarray      # (C,) thermal RMS from weights (<0: n/a)
+    normalized_noise: jnp.ndarray   # (C,) RMS relative to natural
 
 
 def _nc_slices_of(valid) -> jnp.ndarray:
@@ -226,7 +229,8 @@ def _clean_stage(cfg: CubeConfig, residual, model, psf_patch_arr):
         threshold = threshold_power
     state, _k2, _f2, _l2 = clean_ops.minor_cycles_impl(
         ccfg, state, psf_patch_arr, threshold, cfg.minor - 1)
-    return clean_ops.residual_image(ccfg, state), state.model, noise
+    cycles = (_k + _k2).astype(jnp.int32)
+    return clean_ops.residual_image(ccfg, state), state.model, noise, cycles
 
 
 def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
@@ -256,8 +260,20 @@ def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
         else:
             density = jnp.where(wgrid > 0,
                                 1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
+        # Thermal-noise statistics from the weights (same formulas as
+        # ops.weights.density_weights / the per-channel finalize path).
+        w0 = wgrid[0]
+        d0 = density[0]
+        sum_w = jnp.sum(w0)
+        sum_dw = jnp.sum(d0 * w0)
+        sum_d2w = jnp.sum(d0 * d0 * w0)
+        w_rms = jnp.sqrt(sum_d2w) / jnp.maximum(sum_dw, 1e-30)
+        w_norm = w_rms * jnp.sqrt(sum_w)
     else:
         density = jnp.ones((Pp, N, N), jnp.float32)
+        # natural weighting reports no weights-derived RMS (sentinel < 0)
+        w_rms = jnp.float32(-1.0)
+        w_norm = jnp.float32(1.0)
 
     # ---- PSF: grid the weights as "visibilities"
     psf = _grid_slices(cfg, kernel, density, uv, sub_uv, w_plane, anchor,
@@ -268,7 +284,7 @@ def _channel_density_psf(cfg: CubeConfig, kernel, taper1d, pixel_size,
     scale = jnp.where(psf_peak != 0,
                       1.0 / jnp.where(psf_peak != 0, psf_peak, 1.0), 0.0)
     psf = psf * scale[:, None, None]
-    return density, psf, psf_peak, scale
+    return density, psf, psf_peak, scale, w_rms, w_norm
 
 
 def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
@@ -294,6 +310,7 @@ def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
     noise = jnp.zeros((), taper1d.dtype)
     cur_vis = vis
     residual = jnp.zeros((Pp, N, N), taper1d.dtype)
+    minor_total = jnp.zeros((), jnp.int32)
     for major in range(cfg.majors):
         if major > 0:
             cur_vis = _degrid_slices(cfg, kernel, model, uv, sub_uv,
@@ -303,8 +320,10 @@ def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
         dirty = grid_fn(cur_vis, taper1d, pixel_size, mid_w, psum,
                         nc_slices=nc_slices)
         dirty = dirty * scale[:, None, None]
-        residual, model, noise = _clean_stage(cfg, dirty, model, patch)
-    return residual, model, noise
+        residual, model, noise, cycles = _clean_stage(cfg, dirty, model,
+                                                      patch)
+        minor_total = minor_total + cycles
+    return residual, model, noise, minor_total
 
 
 def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
@@ -317,7 +336,7 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
                                                           axis_name=vis_axis)
     half = N // 2
 
-    density, psf, psf_peak, scale = _channel_density_psf(
+    density, psf, psf_peak, scale, w_rms, w_norm = _channel_density_psf(
         cfg, kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
         anchor, valid, weights, psum, nc_slices=nc_slices)
     patch = jax.lax.dynamic_slice(
@@ -327,12 +346,13 @@ def _channel_cube_pipeline(cfg: CubeConfig, kernel, taper1d, pixel_size,
         psf, (0, half - cfg.psf_core // 2, half - cfg.psf_core // 2),
         (Pp, cfg.psf_core, cfg.psf_core))
 
-    residual, model, noise = _channel_majors(
+    residual, model, noise, minor_total = _channel_majors(
         cfg, kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
         anchor, valid, weights, vis, density, scale, patch, psum,
         sky_lmn=sky_lmn, sky_flux=sky_flux, uvw_scales=uvw_scales,
         nc_slices=nc_slices)
-    return residual, model, core, noise, psf_peak
+    return (residual, model, core, noise, psf_peak, minor_total, w_rms,
+            w_norm)
 
 
 def make_wave_image(mesh: Mesh, cfg: CubeConfig):
@@ -367,7 +387,7 @@ def make_wave_image(mesh: Mesh, cfg: CubeConfig):
     in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5, c5)
     if subtract:
         in_specs = in_specs + (chan, chan, chan)
-    out_specs = (chan, chan, chan, chan, chan)
+    out_specs = (chan,) * 8
     fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
     jitted = jax.jit(fn)
@@ -390,6 +410,8 @@ class PsfWaveResult(NamedTuple):
     psf: jnp.ndarray       # (C, P, N, N), peak-normalized
     psf_peak: jnp.ndarray  # (C, P)
     scale: jnp.ndarray     # (C, P)
+    weights_noise: jnp.ndarray     # (C,) thermal RMS from weights (<0: n/a)
+    normalized_noise: jnp.ndarray  # (C,)
 
 
 def make_wave_psf(mesh: Mesh, cfg: CubeConfig):
@@ -415,7 +437,7 @@ def make_wave_psf(mesh: Mesh, cfg: CubeConfig):
     c5 = P("chan", None, "vis", None, None)
     c4 = P("chan", None, "vis", None)
     in_specs = (chan, chan, chan, chan, c5, c5, c4, c4, c4, c5)
-    out_specs = (chan, chan, chan, chan)
+    out_specs = (chan,) * 6
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     jitted = jax.jit(fn)
@@ -434,7 +456,7 @@ def make_wave_clean(mesh: Mesh, cfg: CubeConfig, patch: int):
 
     Takes the phase-A outputs (density, psf, scale) as inputs; the patch
     is sliced from the PSF on device at the static ``patch`` size.
-    Returns (residual, model, noise)."""
+    Returns (residual, model, noise, minor)."""
     cfgp = dataclasses.replace(cfg, patch=patch)
     subtract = cfg.num_sources > 0
     half = cfg.pixels // 2
@@ -474,7 +496,7 @@ def make_wave_clean(mesh: Mesh, cfg: CubeConfig, patch: int):
                 chan, chan, chan)
     if subtract:
         in_specs = in_specs + (chan, chan, chan)
-    out_specs = (chan, chan, chan)
+    out_specs = (chan, chan, chan, chan)
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     jitted = jax.jit(fn)

@@ -91,10 +91,20 @@ def load_hdf5_beam(filename: str, band: Optional[str] = None) -> TrivialPrimaryB
 
 
 def meerkat_v1_beam(band: str) -> TrivialPrimaryBeam:
-    """MeerKAT measured beam (reference ships HDF5 models; not bundled in
-    this build).  Falls back to the Airy model for a 13.5 m dish with a
-    warning-level distinction left to the caller."""
+    """MeerKAT measured primary beam (parity with reference
+    ``primary_beam.py:179-188``, which samples the katsdpmodels v1 HDF5
+    tables).  This build bundles the measured tables downsampled in
+    frequency (``models/beams/meerkat/v1``, regenerate with
+    ``scripts/make_meerkat_beams.py``); if a table is missing the analytic
+    Airy pattern for a 13.5 m dish stands in."""
     ranges = {"L": (856e6, 1712e6), "UHF": (544e6, 1088e6)}
     if band not in ranges:
         raise ValueError(f"No primary beam model for band {band!r}")
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "models", "beams", "meerkat", "v1",
+                        f"beam_{band}.h5")
+    if os.path.exists(path):
+        return load_hdf5_beam(path, band)
     return airy_beam(13.5, band, ranges[band])

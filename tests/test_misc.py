@@ -132,11 +132,34 @@ class TestPrimaryBeam:
         assert grid.shape == (33, 33)
         assert grid[16, 16] == pytest.approx(1.0, abs=1e-6)
 
-    def test_meerkat_fallback(self):
+    def test_meerkat_measured(self):
+        """The bundled measured MeerKAT tables load and return physical
+        power values (reference samples katsdpmodels v1 tables,
+        primary_beam.py:179-188)."""
         beam = primary_beam.meerkat_v1_beam("L")
         assert beam.band == "L"
+        assert beam.frequencies[0] == pytest.approx(856e6)
+        assert beam.frequencies[-1] == pytest.approx(1711164062.5)
+        # boresight power close to (but not exactly, it is measured) 1
+        centre = beam.sample(0.0, 1.2e9)
+        assert 0.9 < centre < 1.05
+        # power decreases with radius and the beam has a finite extent
+        r = beam.radii
+        mid = beam.sample(r[len(r) // 3], 1.2e9)
+        assert 0.0 < mid < centre
+        # UHF band loads too; unknown bands are rejected
+        assert primary_beam.meerkat_v1_beam("UHF").band == "UHF"
         with pytest.raises(ValueError):
             primary_beam.meerkat_v1_beam("X")
+
+    def test_meerkat_fallback_airy(self, tmp_path, monkeypatch):
+        """Without a bundled table the Airy pattern stands in."""
+        import katsdpimager_tpu.primary_beam as pb
+
+        monkeypatch.setattr(
+            "os.path.exists", lambda p: False)
+        beam = pb.meerkat_v1_beam("L")
+        assert beam.sample(0.0, 1.2e9) == pytest.approx(1.0)
 
 
 class TestMetadata:
