@@ -116,36 +116,44 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
         nc_slices = jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32),
                             axis=-1)                     # (S,)
 
-    def slice_body(dirty, xs):
-        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
-        ext = mxu_gridder.dense_pad_size(N, cfg.rv)
-        gpad = jnp.zeros((Pp, ext, ext), vis.dtype)
-        gpad = mxu_gridder.grid_chunks_dense_impl(
-            gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
-            None, nc_s,
-            pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
-        grid = psum(gpad[:, :N, :N])
-        dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
-                                   pixels=N)
-        return dirty, None
+    def image_of(vis_like):
+        def slice_body(dirty, xs):
+            uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
+            ext = mxu_gridder.dense_pad_size(N, cfg.rv)
+            gpad = jnp.zeros((Pp, ext, ext), vis.dtype)
+            gpad = mxu_gridder.grid_chunks_dense_impl(
+                gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s,
+                val_s, None, nc_s,
+                pixels=N, ts=cfg.rv,
+                assembly=mxu_gridder.default_assembly())
+            grid = psum(gpad[:, :N, :N])
+            dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid,
+                                       pixel_size, pixels=N)
+            return dirty, None
 
-    dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
-    dirty, _ = jax.lax.scan(
-        slice_body, dirty0,
-        (uv, sub_uv, w_plane, anchor, valid, vis, mid_w, nc_slices))
+        dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
+        dirty, _ = jax.lax.scan(
+            slice_body, dirty0,
+            (uv, sub_uv, w_plane, anchor, valid, vis_like, mid_w,
+             nc_slices))
+        return dirty
+
+    dirty = image_of(vis)
 
     if cfg.minor_cycles == 0:
         return dirty, jnp.zeros_like(dirty)
 
     # ---- CLEAN minor cycles (channel-local: no cross-shard work)
+    # Real PSF: grid the weights as unit visibilities (same path as the
+    # cube wave's _channel_density_psf; the dirty image is normalized by
+    # the PSF peak so fluxes are in Jy/beam).
     ccfg = cfg.clean_cfg
-    pk = dirty[:, N // 2, N // 2]
+    psf = image_of(weights.astype(vis.dtype) * valid[..., None])
+    pk = psf[:, N // 2, N // 2]
     scale = jnp.where(pk != 0, 1.0 / jnp.where(pk != 0, pk, 1.0), 0.0)
-    # PSF approximated by the normalised central dirty patch; the full PSF
-    # handling lives in the orchestration layer — this step benchmarks the
-    # on-device loop.
+    dirty = dirty * scale[:, None, None]
     patch = jax.lax.dynamic_slice(
-        dirty * scale[:, None, None],
+        psf * scale[:, None, None],
         (0, N // 2 - cfg.patch // 2, N // 2 - cfg.patch // 2),
         (Pp, cfg.patch, cfg.patch))
     pad = ccfg.pad
