@@ -11,12 +11,14 @@ kernel_width^2 * n_pols / t (tests/imager_bench.py:166-208).
 ``vs_baseline`` is measured GGAPS relative to 1.0 GGAPS, a representative
 figure for the reference's CUDA gridder on a datacentre GPU of its era.
 
-Workload: a 4-channel batch (the production pipelines always dispatch
+Workload: an 8-channel batch (the production pipelines always dispatch
 multi-channel batches — the reference's default channel-batch is 16,
 frontend.py:356-367) of ~1M compressed visibilities per channel
 (MeerKAT-64 yields 2016 baselines x 3600 dumps ≈ 7.3M raw vis/channel
 before compression) onto 4k-pixel single-pol grids, kernel width 60,
-oversample 8, 32 W planes, clustered UV.  Channels run sequentially
+oversample 8, 32 W planes, clustered UV, natural imaging weights (the
+CLI default; uniform/robust add a density-grid stage).  Channels run
+sequentially
 inside ONE dispatch, so the ~30 ms tunnel dispatch+fetch floor is
 amortized the way production waves amortize it.  Falls back to a smaller
 CPU-sized workload when no accelerator is attached.
@@ -62,8 +64,8 @@ def main():
         cfg = MultiChannelConfig(
             pixels=4096, num_pols=1, kernel_width=60, oversample=8,
             w_planes=32, w_slices=1, chunks_per_slice=8192, chunk_size=256,
-            rv=64, ru=64, minor_cycles=0)
-        num_channels = 4
+            rv=64, ru=64, minor_cycles=0, weight_type="natural")
+        num_channels = 8
         vis_per_slice = 1 << 20
     else:
         cfg = MultiChannelConfig(
@@ -86,8 +88,11 @@ def main():
              batch.sub_uv, batch.w_plane, batch.anchor, batch.valid,
              batch.weights)]
 
+    # All batch arrays are explicit jit ARGUMENTS (a closure would embed
+    # them as constants in the compile payload — hundreds of MB through
+    # the remote-compile tunnel).
     @jax.jit
-    def step(kp, vp):
+    def step(kp, vp, *rest_args):
         kernel = lax.complex(kp[..., 0], kp[..., 1])
         vis = lax.complex(vp[..., 0], vp[..., 1])
 
@@ -98,15 +103,15 @@ def main():
             # f32 checksum: fetching it is the only reliable device sync.
             return jnp.sum(jnp.abs(residual[:, ::64, ::64]))
 
-        sums = lax.map(one, (kernel, vis) + tuple(rest))
+        sums = lax.map(one, (kernel, vis) + tuple(rest_args))
         return jnp.sum(sums)
 
     # Warmup / compile
-    float(step(kern_p, vis_p))
+    float(step(kern_p, vis_p, *rest))
 
     iters = 3
     start = time.perf_counter()
-    vals = [step(kern_p, vis_p) for _ in range(iters)]
+    vals = [step(kern_p, vis_p, *rest) for _ in range(iters)]
     for v in vals:
         float(v)
     elapsed = (time.perf_counter() - start) / iters

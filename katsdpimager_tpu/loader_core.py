@@ -81,6 +81,20 @@ class LoaderBase(ABC):
                   max_chunk_vis: Optional[int] = None) -> Iterator[dict]:
         ...
 
+    def observation(self) -> Optional[dict]:
+        """Observation-geometry summary for QA reporting, or None.
+
+        Optional keys (reference report.py:163-521 derives the same plots
+        from katdal datasets):
+
+        - ``uvw_samples``: (M, 3) float metres, subsampled baseline tracks
+          (UV-coverage plot);
+        - ``antenna_positions`` (A, 3) ECEF metres, ``phase_centre``
+          (ra, dec) radians, ``time_range`` (t0, t1) UNIX seconds —
+          elevation / parallactic-angle plots via :mod:`.ephem`.
+        """
+        return None
+
     def sky_model(self):
         from .sky_model import NoSkyModelError
 

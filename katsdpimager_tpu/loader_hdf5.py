@@ -100,6 +100,14 @@ class LoaderHDF5(loader_core.LoaderBase):
                 chunk["feed_angle2"] = np.asarray(self._file["feed_angle2"][start:stop])
             yield chunk
 
+    def observation(self):
+        n = self._uvw.shape[0]
+        if n == 0:
+            return None
+        stride = max(1, n // 20000)
+        return {"uvw_samples": np.asarray(self._uvw[::stride],
+                                          np.float64)}
+
     def extra_fits_headers(self):
         return {"TELESCOP": self._attrs.get("telescope", "simulated")}
 

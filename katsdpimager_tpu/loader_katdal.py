@@ -403,6 +403,21 @@ class LoaderKatdal(loader_core.LoaderBase):
                 total=n_times)
             start = end
 
+    def observation(self):
+        timestamps = np.asarray(self._file.timestamps, np.float64)
+        out = {"antenna_positions": self._positions,
+               "phase_centre": np.asarray(self.phase_centre())}
+        if len(timestamps):
+            out["time_range"] = (float(timestamps[0]), float(timestamps[-1]))
+            ra, dec = self.phase_centre()
+            stride = max(1, len(timestamps) // 64)
+            ant_uvw = ephem.antenna_uvw(
+                self._positions, ra, dec, timestamps[::stride],
+                ref_position=self._ref_position)        # (A, T, 3)
+            samples = [ant_uvw[b] - ant_uvw[a] for a, b in self._baselines]
+            out["uvw_samples"] = np.concatenate(samples)
+        return out
+
     def sky_model(self):
         telstate = self._telstate()
         source = getattr(self._file, "source", None)

@@ -403,6 +403,25 @@ class LoaderMS(loader_core.LoaderBase):
                                         inverse[order]].astype(np.float32)
             yield ret
 
+    def observation(self):
+        out = {"antenna_positions": self._positions,
+               "phase_centre": np.asarray(self.phase_centre())}
+        nrow = self._main.nrows()
+        if nrow:
+            stride = max(1, nrow // 20000)
+            uvw = np.asarray(self._main.getcol("UVW"))[::stride]
+            if not self._strict_uvw:
+                uvw = -uvw
+            out["uvw_samples"] = np.asarray(uvw, np.float64)
+            if "TIME_CENTROID" in self._main.colnames():
+                t0 = float(np.asarray(self._main.getcell("TIME_CENTROID",
+                                                         0)))
+                t1 = float(np.asarray(self._main.getcell("TIME_CENTROID",
+                                                         nrow - 1)))
+                out["time_range"] = (min(t0, t1) - _MJD_UNIX_EPOCH * 86400.0,
+                                     max(t0, t1) - _MJD_UNIX_EPOCH * 86400.0)
+        return out
+
     def extra_fits_headers(self) -> dict:
         headers = {}
         obsgeo = self._positions.mean(axis=0)

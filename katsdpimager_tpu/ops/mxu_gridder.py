@@ -585,10 +585,11 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
 
     # Per-vis density lookups: a chunk's cells lie inside a (ts, ts)
     # window at its anchor, so slice the window (one dense DMA read) and
-    # gather locally instead of issuing Mc random HBM gathers per chunk —
-    # measured 38 ms -> ~2 ms for 2M lookups on a 4k grid (v5e).
+    # gather locally instead of issuing Mc random HBM gathers per chunk.
+    # ``weights_grid=None`` means natural weighting (density == 1): skip
+    # the lookup entirely.
     _kb = (K - 1) // 2
-    wg_pad = (None if dw_chunks is not None
+    wg_pad = (None if dw_chunks is not None or weights_grid is None
               else jnp.pad(weights_grid, ((0, 0), (0, ts), (0, ts))))
 
     def group_body(T, xs):
@@ -599,6 +600,8 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             uv, sub, wp, vis, anchor, valid, dwx = xs
 
         def sample_of(uv_c, anc_c, vis_c, val_c, dw_c):
+            if dw_c is None and wg_pad is None:
+                return vis_c.T * val_c[None, :]
             if dw_c is None:
                 zero = jnp.zeros((), anc_c.dtype)
                 win = jax.lax.dynamic_slice(

@@ -118,6 +118,8 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
     Pp = cfg.num_pols
     if nc_slices is None:
         nc_slices = _nc_slices_of(valid)
+    if cfg.weight_type == "natural":
+        density = None   # density == 1: skip the per-vis window lookups
 
     def body(dirty, xs):
         uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs

@@ -56,6 +56,9 @@ class MultiChannelConfig:
     border_pixels: int = 0
     loop_gain: float = 0.1
     clean_mode: int = clean_ops.CLEAN_I
+    #: imaging density weights: "natural" (no density grid, the CLI
+    #: default) or "uniform"
+    weight_type: str = "uniform"
 
     @property
     def clean_cfg(self) -> clean_ops.CleanConfig:
@@ -101,15 +104,20 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     psum = (lambda x: x) if vis_axis is None else partial(jax.lax.psum,
                                                           axis_name=vis_axis)
 
-    # ---- imaging weights: uniform density (d = 1/W per occupied cell)
+    # ---- imaging weights: natural (density == 1, no grid) or uniform
+    # (d = 1/W per occupied cell)
     half = N // 2
-    flat_uv = uv.reshape(-1, 2)
-    flat_w = (weights * valid[..., None]).reshape(-1, Pp)
-    wgrid = jnp.zeros((Pp, N, N), jnp.float32)
-    wgrid = wgrid.at[:, flat_uv[:, 1] + half, flat_uv[:, 0] + half].add(
-        flat_w.T, mode="drop")
-    wgrid = psum(wgrid)
-    density = jnp.where(wgrid > 0, 1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
+    if cfg.weight_type == "natural":
+        density = None
+    else:
+        flat_uv = uv.reshape(-1, 2)
+        flat_w = (weights * valid[..., None]).reshape(-1, Pp)
+        wgrid = jnp.zeros((Pp, N, N), jnp.float32)
+        wgrid = wgrid.at[:, flat_uv[:, 1] + half, flat_uv[:, 0] + half].add(
+            flat_w.T, mode="drop")
+        wgrid = psum(wgrid)
+        density = jnp.where(
+            wgrid > 0, 1.0 / jnp.where(wgrid > 0, wgrid, 1.0), 0.0)
 
     # ---- W-stacked dirty image via the MXU chunk gridder
     if nc_slices is None:

@@ -144,6 +144,16 @@ class PipelineWriter(frontend.Writer):
 
     def finalize(self, dataset, channels) -> None:
         try:
+            obs = dataset.observation()
+            if obs:
+                self.store.set("observation", {
+                    k: (np.asarray(v).tolist()
+                        if isinstance(v, (np.ndarray, tuple, list)) else v)
+                    for k, v in obs.items()})
+        except Exception:
+            logger.warning("Could not record observation summary",
+                           exc_info=True)
+        try:
             image_p = None
             md = metadata.make_metadata(dataset, image_p, list(channels))
             metadata.write_metadata(

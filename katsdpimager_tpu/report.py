@@ -75,6 +75,63 @@ def load_stats(state_path: str) -> Dict[int, dict]:
     return stats
 
 
+def load_observation(state_path: str) -> Optional[dict]:
+    with open(state_path) as f:
+        data = json.load(f)
+    return data.get("observation")
+
+
+def observation_plots(obs: dict, plt, mid_freq_hz: Optional[float]) -> list:
+    """UV-coverage and elevation/parallactic-angle figures (parity with
+    reference report.py:362-521, computed from the recorded observation
+    summary via :mod:`.ephem` instead of katpoint/bokeh)."""
+    from . import ephem, units
+
+    plots = []
+    uvw = obs.get("uvw_samples")
+    if uvw is not None and len(uvw):
+        uvw = np.asarray(uvw, np.float64)
+        if mid_freq_hz:
+            scale = 1e-3 / units.wavelength_m(mid_freq_hz)
+            unit = r"k$\lambda$"
+        else:
+            scale = 1e-3
+            unit = "km"
+        fig, ax = plt.subplots(figsize=(4.5, 4.5))
+        for sign in (1.0, -1.0):
+            ax.plot(sign * uvw[:, 0] * scale, sign * uvw[:, 1] * scale,
+                    ".", markersize=0.5, color="tab:blue", alpha=0.4)
+        ax.set_xlabel(f"u [{unit}]")
+        ax.set_ylabel(f"v [{unit}]")
+        ax.set_aspect("equal")
+        ax.set_title("UV coverage")
+        plots.append(_fig_to_b64(fig))
+
+    pos = obs.get("antenna_positions")
+    pc = obs.get("phase_centre")
+    trange = obs.get("time_range")
+    if pos is not None and pc is not None and trange and trange[1] > trange[0]:
+        pos = np.asarray(pos, np.float64)
+        ra, dec = float(pc[0]), float(pc[1])
+        lat, lon, _ = ephem.ecef_to_geodetic(pos.mean(axis=0))
+        times = np.linspace(trange[0], trange[1], 200)
+        hours = (times - trange[0]) / 3600.0
+        elev = np.degrees(ephem.elevation(lat, lon, ra, dec, times))
+        pa = np.degrees(ephem.parallactic_angle(lat, lon, ra, dec, times))
+        fig, axes = plt.subplots(1, 2, figsize=(9, 3))
+        axes[0].plot(hours, elev)
+        axes[0].set_xlabel("Time [h since start]")
+        axes[0].set_ylabel("Elevation [deg]")
+        axes[0].set_title("Target elevation")
+        axes[1].plot(hours, pa)
+        axes[1].set_xlabel("Time [h since start]")
+        axes[1].set_ylabel("Parallactic angle [deg]")
+        axes[1].set_title("Parallactic angle")
+        fig.tight_layout()
+        plots.append(_fig_to_b64(fig))
+    return plots
+
+
 def write_report(state_path: str, output_path: str,
                  title: str = "Imaging QA report",
                  images_dir: Optional[str] = None) -> None:
@@ -124,6 +181,12 @@ def write_report(state_path: str, output_path: str,
         ax.set_ylabel("Minor cycles")
         ax.set_title("CLEAN effort")
         plots.append(_fig_to_b64(fig))
+
+    obs = load_observation(state_path)
+    if obs:
+        mid_freq = (float(np.nanmean(freqs)) * 1e6
+                    if channels and np.isfinite(freqs).any() else None)
+        plots.extend(observation_plots(obs, plt, mid_freq))
 
     gallery = ""
     if images_dir and os.path.isdir(images_dir):

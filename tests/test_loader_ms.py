@@ -434,3 +434,17 @@ def test_frontend_e2e(monkeypatch, tmp_path):
     peak_idx = np.unravel_index(np.argmax(dirty[0]), dirty[0].shape)
     assert peak_idx == (32, 32)
     assert dirty[0, 32, 32] == pytest.approx(1.0, rel=0.05)
+
+
+def test_observation_summary(fake_ms):
+    from katsdpimager_tpu.loader_ms import LoaderMS
+
+    path, *_ = fake_ms
+    loader = LoaderMS(path, [])
+    obs = loader.observation()
+    assert obs["uvw_samples"].shape == (12, 3)
+    assert obs["antenna_positions"].shape == (4, 3)
+    assert obs["phase_centre"].tolist() == [0.5, -0.6]
+    t0, t1 = obs["time_range"]
+    assert t1 - t0 == pytest.approx(8.0)
+    assert t0 == pytest.approx(T0_UNIX)

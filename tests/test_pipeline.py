@@ -37,6 +37,8 @@ class TestPipeline:
         assert "noise" in state["stats/0"]
         assert state["stats/0"]["frequency"] > 0
         assert os.path.exists(os.path.join(outdir, "metadata.json"))
+        # observation geometry summary recorded for QA plots
+        assert "uvw_samples" in state["observation"]
 
     def test_resume_skips_done(self, sim_dataset, tmp_path, caplog):
         outdir = str(tmp_path / "out")
@@ -57,6 +59,29 @@ class TestPipeline:
             doc = f.read()
         assert "Per-channel statistics" in doc
         assert "data:image/png;base64," in doc
+        # UV-coverage plot rendered from the recorded observation summary
+        assert doc.count("data:image/png;base64,") >= 4
+
+    def test_observation_plots_geometry(self, tmp_path):
+        """Elevation/parallactic-angle plots render when antenna geometry
+        and a time range are recorded (reference report.py:362-418)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        obs = {
+            "antenna_positions": (np.array(
+                [[5109224.0, 2006790.0, -3239100.0]] * 3)
+                + np.arange(3)[:, None] * 50).tolist(),
+            "phase_centre": [0.9, -0.7],
+            "time_range": [1590969600.0, 1590973200.0],
+            "uvw_samples": np.random.default_rng(0).uniform(
+                -500, 500, (100, 3)).tolist(),
+        }
+        plots = report.observation_plots(obs, plt, 1.4e9)
+        assert len(plots) == 2  # uv coverage + elevation/PA pair
 
     def test_sefd_model(self):
         model = report.meerkat_sefd_model("L")
