@@ -19,6 +19,19 @@ The kernel is numerically identical to ``mxu_gridder.grid_chunks_impl``
 (same factor matrices, same matmul), differing only in scheduling.
 ``interpret=True`` is used automatically on non-TPU backends so the same
 code path is testable on CPU.
+
+STATUS (round 2): demoted to a reference/experimental path.  Mosaic now
+compiles through the axon tunnel (it failed UNIMPLEMENTED in round 1),
+but this kernel's windowed VMEM DMA requires (8, 128)-aligned dynamic
+indices and the scan-formulation plans place anchors arbitrarily, so it
+is rejected at compile time ("tile index ... divisible by the tiling").
+A redesign would need 128-aligned tile plans; a flop analysis of the
+fused alternative (in-kernel one-hot assembly: ~92M MACs/chunk at ts=64
+vs the XLA tapdict path's ~24M) shows the XLA dense path
+(``assembly="tapdict"``, 86 GGAPS measured) outperforms the projected
+fused kernel, so the XLA path remains the production TPU route.  These
+kernels stay opt-in (``KTPU_USE_PALLAS=1``) and CPU-interpretable as a
+scheduling reference.
 """
 
 from __future__ import annotations
