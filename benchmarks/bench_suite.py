@@ -248,12 +248,44 @@ def bench_channels():
             num_channels=C, pixels=cfg.pixels, devices=n_dev)
 
 
+def bench_predict():
+    """Direct DFT prediction throughput (reference tests/predict_bench.py:
+    visibilities/s for subtracting S point sources)."""
+    from katsdpimager_tpu.ops import predict
+    from katsdpimager_tpu import xfer
+
+    n = (1 << 20) if _accel() else (1 << 16)
+    S = 256
+    O = 8
+    rng = np.random.default_rng(5)
+    lmn = jnp.asarray(rng.normal(scale=1e-3, size=(S, 3)).astype(np.float32))
+    flux = jnp.asarray(rng.uniform(0.1, 1.0, size=(S, 1)).astype(np.float32))
+    uv = jnp.asarray(rng.integers(-1000, 1000, size=(n, 2)).astype(np.int32))
+    sub = jnp.asarray(rng.integers(0, O, size=(n, 2)).astype(np.int32))
+    wp = jnp.asarray(rng.integers(0, 32, size=n).astype(np.int32))
+    weights = jnp.ones((n, 1), jnp.float32)
+    vis_np = (rng.normal(size=(n, 1))
+              + 1j * rng.normal(size=(n, 1))).astype(np.complex64)
+
+    def run():
+        vis = xfer.device_complex(vis_np)
+        return predict.predict_subtract(
+            lmn, flux, uv, sub, wp, vis, weights,
+            jnp.float32(1e-4), jnp.float32(0.5), jnp.float32(10.0),
+            oversample=O)
+
+    dt = _time(run)
+    _report(metric="predict", value=round(n / dt / 1e6, 2), unit="Mvis/s",
+            num_vis=n, num_sources=S)
+
+
 ALL = {
     "preprocess": bench_preprocess,
     "grid": bench_grid,
     "degrid": bench_degrid,
     "fft": bench_fft,
     "clean": bench_clean,
+    "predict": bench_predict,
     "channels": bench_channels,
 }
 

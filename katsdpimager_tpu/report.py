@@ -81,6 +81,13 @@ def load_observation(state_path: str) -> Optional[dict]:
     return data.get("observation")
 
 
+def load_status(state_path: str) -> Dict[int, str]:
+    with open(state_path) as f:
+        data = json.load(f)
+    return {int(k.split("/", 1)[1]): v for k, v in data.items()
+            if k.startswith("status/")}
+
+
 def observation_plots(obs: dict, plt, mid_freq_hz: Optional[float]) -> list:
     """UV-coverage and elevation/parallactic-angle figures (parity with
     reference report.py:362-521, computed from the recorded observation
@@ -180,6 +187,23 @@ def write_report(state_path: str, output_path: str,
         ax.set_xlabel("Frequency [MHz]")
         ax.set_ylabel("Minor cycles")
         ax.set_title("CLEAN effort")
+        plots.append(_fig_to_b64(fig))
+
+    # per-channel status strip (complete / no-data / missing; reference
+    # report.py:282-296 plots the same per-channel status)
+    status = load_status(state_path)
+    if status:
+        chans = sorted(status)
+        codes = {"complete": 1.0, "no-data": 0.5}
+        vals = [codes.get(status[c], 0.0) for c in chans]
+        fig, ax = plt.subplots(figsize=(7, 1.4))
+        ax.bar(chans, [1] * len(chans), width=1.0,
+               color=["tab:green" if v == 1.0 else
+                      "tab:orange" if v == 0.5 else "tab:red"
+                      for v in vals])
+        ax.set_yticks([])
+        ax.set_xlabel("Channel")
+        ax.set_title("Status (green=complete, orange=no data)")
         plots.append(_fig_to_b64(fig))
 
     obs = load_observation(state_path)
