@@ -170,3 +170,16 @@ class TestThresholdScale:
         assert clean.metric_to_power(clean.CLEAN_SUMSQ, 9.0) == 3.0
         assert clean.power_to_metric(clean.CLEAN_SUMSQ, 3.0) == 9.0
         assert clean.metric_to_power(clean.CLEAN_I, 3.0) == 3.0
+
+    def test_matches_numpy_median(self):
+        """The rank-binary-search median equals numpy's exactly (even and
+        odd interior sizes)."""
+        for n, border in ((64, 8), (65, 16)):
+            rng = np.random.default_rng(n)
+            img = rng.normal(scale=1.3, size=(1, n, n)).astype(np.float32)
+            est = float(clean.noise_est(jnp.asarray(img),
+                                        border_pixels=border))
+            interior = np.abs(img[:, border:n - border, border:n - border])
+            expect = (float(np.median(interior))
+                      * clean._MEDIAN_TO_RMS)
+            assert est == pytest.approx(expect, rel=1e-6)
