@@ -40,35 +40,43 @@ from . import frontend, parameters, polarization, sky_model
 from .ops import clean as clean_ops
 from .ops import mxu_gridder, predict, wkernel
 from .parallel import cube, make_mesh
-from .parallel.multichannel import ChannelBatch, chunk_channel
+from .parallel.multichannel import ChannelBatch
 
 logger = logging.getLogger(__name__)
 
 
 def _plan_layout(reader, num_channels: int, cfg_template: dict) -> dict:
-    """Measure chunk requirements over the wave and size NC with headroom."""
-    probe = mxu_gridder.MxuGridder(
-        pixels=cfg_template["pixels"],
-        kernel_width=cfg_template["kernel_width"],
-        num_pols=cfg_template["num_pols"],
-        rv=cfg_template["rv"], ru=cfg_template["ru"],
-        mc=cfg_template["chunk_size"])
+    """Measure chunk requirements over the wave and size NC with headroom.
+
+    Uses coordinates-only reads (``slice_coords``) — the probe never
+    touches the vis/weights payload, ~80% of the slice bytes at P=4."""
+    ts = cfg_template["rv"]
     max_nc = 1
     for c in range(num_channels):
         for s in range(reader.num_w_slices(c)):
-            chk = reader.slice_arrays(c, s)
-            if len(chk) == 0:
+            cu, _cs, _cw = reader.slice_coords(c, s)
+            if len(cu) == 0:
                 continue
-            plan = probe.plan(chk.uv, chk.sub_uv, chk.w_plane,
-                              np.asarray(chk.vis), chk.weights)
-            nc = int(plan.valid.any(axis=1).sum())
-            max_nc = max(max_nc, nc)
+            asg = mxu_gridder.plan_chunks_tiled_coords(
+                cu, pixels=cfg_template["pixels"],
+                kernel_width=cfg_template["kernel_width"], ts=ts,
+                mc=cfg_template["chunk_size"])
+            max_nc = max(max_nc, asg["n_chunks"])
     # Dense gridding cost is proportional to the chunk CAPACITY, so keep
     # headroom tight (25%, rounded to the scan group size); a later wave
     # that overflows triggers a grow-and-recompile in run_cube instead.
     cfg_template["chunks_per_slice"] = max(128, -(-int(max_nc * 1.25)
                                                   // 128) * 128)
     return cfg_template
+
+
+def _tile_for(kernel_width: int) -> int:
+    """Smallest power-of-two tile >= 64 covering the kernel (the dense
+    gridder requires ts >= K and a power-of-two window)."""
+    ts = 64
+    while ts < kernel_width:
+        ts *= 2
+    return ts
 
 
 #: Snap auto-sized PSF patches to a few buckets so phase-B waves compile
@@ -110,6 +118,8 @@ def build_wave_batch(cfg: cube.CubeConfig, reader, image_ps, grid_ps,
     val = np.zeros((C, S, NC, Mc), bool)
     wts = np.zeros((C, S, NC, Mc, Pp), np.float32)
     vis = np.zeros((C, S, NC, Mc, Pp), np.complex64)
+    from .parallel.multichannel import ChunkOverflowError
+
     for i, ch in enumerate(wave_channels):
         rel = ch - start
         ip, gp = image_ps[rel], grid_ps[rel]
@@ -120,12 +130,37 @@ def build_wave_batch(cfg: cube.CubeConfig, reader, image_ps, grid_ps,
         psizes[i] = ip.pixel_size
         midws[i] = wkernel.mid_w_values(ip, gp).astype(np.float32)
         for s in range(min(S, reader.num_w_slices(rel))):
-            chk = reader.slice_arrays(rel, s)
-            if len(chk) == 0:
+            # Coordinates-only planning pass, then payloads streamed in
+            # bounded blocks (spill readers recycle one buffer): host
+            # memory stays flat regardless of slice size.
+            cu, cs, cw = reader.slice_coords(rel, s)
+            if len(cu) == 0:
                 continue
-            (uv[i, s], sub[i, s], wp[i, s], anc[i, s], val[i, s],
-             wts[i, s], vis[i, s]) = chunk_channel(
-                cfg, chk.uv, chk.sub_uv, chk.w_plane, chk.vis, chk.weights)
+            asg = mxu_gridder.plan_chunks_tiled_coords(
+                cu, pixels=N, kernel_width=cfg.kernel_width, ts=cfg.rv,
+                mc=Mc)
+            if asg["n_chunks"] > NC:
+                raise ChunkOverflowError(
+                    f"slice needs {asg['n_chunks']} chunks > configured "
+                    f"{NC}")
+            order = asg["order"]
+            chs, sls = asg["chunk_of"], asg["slot_of"]
+            keep = chs < NC     # n_padded may exceed NC; those are invalid
+            uv[i, s][chs[keep], sls[keep]] = cu[order][keep]
+            sub[i, s][chs[keep], sls[keep]] = cs[order][keep]
+            wp[i, s][chs[keep], sls[keep]] = cw[order][keep]
+            bound = min(NC, len(asg["anchor"]))
+            anc[i, s, :bound] = asg["anchor"][:bound]
+            val[i, s, :bound] = asg["valid"][:bound]
+            rc, rs = asg["row_chunk"], asg["row_slot"]
+            row = 0
+            for blk in reader.iter_slice(rel, s, 1 << 20):
+                m = len(blk)
+                rr = slice(row, row + m)
+                rk = rc[rr] < NC
+                wts[i, s][rc[rr][rk], rs[rr][rk]] = blk.weights[rk]
+                vis[i, s][rc[rr][rk], rs[rr][rk]] = blk.vis[rk]
+                row += m
     from . import xfer
 
     return ChannelBatch(
@@ -233,7 +268,8 @@ def run_cube(args, dataset, writer) -> None:
                 kernel_width=args.kernel_width,
                 oversample=args.grid_oversample,
                 w_planes=w_planes, w_slices=w_slices,
-                chunk_size=256, rv=64, ru=64,
+                chunk_size=256, rv=_tile_for(args.kernel_width),
+                ru=_tile_for(args.kernel_width),
                 majors=args.major, minor=args.minor,
                 patch=(getattr(args, "cube_psf_patch", 65) or 65),
                 psf_core=64,

@@ -279,21 +279,33 @@ grid_chunks = partial(jax.jit,
 # construction — which folds into the grid with four dense shifted adds.
 
 
-def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
-                      kernel_width: int, ts: int = 64,
-                      mc: int = 256) -> "ChunkPlan":
-    """Tile-aligned chunk plan (vectorized, no python walk).
+def plan_chunks_tiled_coords(uv, *, pixels: int, kernel_width: int,
+                             ts: int = 64, mc: int = 256) -> dict:
+    """Tile-aligned chunk ASSIGNMENT from coordinates alone.
 
-    Requires ``kernel_width <= ts``.  Returns a :class:`ChunkPlan` whose
-    anchors are multiples of ``ts`` (windows ``(ts+K)^2``).
+    Streaming packers (cube wave batches over HDF5 spill files) use this
+    with a coordinates-only read, then place payload blocks by the
+    returned per-row mapping — host memory stays bounded by the block
+    size instead of the slice size.
+
+    Returns a dict: ``order`` (sorted permutation), ``chunk_of``/
+    ``slot_of`` (per SORTED position), ``row_chunk``/``row_slot`` (per
+    ORIGINAL row), ``anchor`` (n_padded, 2), ``valid`` (n_padded, mc),
+    ``n_chunks``, ``n_padded``.
     """
     K = kernel_width
     assert K <= ts, "tile size must cover the kernel"
     n = len(uv)
     uv_bias = (K - 1) // 2 - pixels // 2
     if n == 0:
-        return plan_chunks(uv, sub_uv, w_plane, vis, weights, pixels=pixels,
-                           kernel_width=K, rv=ts, ru=ts, mc=mc)
+        return dict(order=np.zeros(0, np.int64),
+                    chunk_of=np.zeros(0, np.int64),
+                    slot_of=np.zeros(0, np.int64),
+                    row_chunk=np.zeros(0, np.int64),
+                    row_slot=np.zeros(0, np.int64),
+                    anchor=np.zeros((0, 2), np.int32),
+                    valid=np.zeros((0, mc), bool),
+                    n_chunks=0, n_padded=0)
 
     u0 = uv[:, 0].astype(np.int64) - uv_bias
     v0 = uv[:, 1].astype(np.int64) - uv_bias
@@ -320,27 +332,53 @@ def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
     chunk_of = chunk_base[group_of] + local // mc
     slot_of = local % mc
 
+    anchor = np.zeros((n_padded, 2), np.int32)
+    valid = np.zeros((n_padded, mc), bool)
+    valid[chunk_of, slot_of] = True
+    anchor[chunk_of, 0] = (tv[order] * ts).astype(np.int32)
+    anchor[chunk_of, 1] = (tu[order] * ts).astype(np.int32)
+
+    row_chunk = np.empty(n, np.int64)
+    row_slot = np.empty(n, np.int64)
+    row_chunk[order] = chunk_of
+    row_slot[order] = slot_of
+    return dict(order=order, chunk_of=chunk_of, slot_of=slot_of,
+                row_chunk=row_chunk, row_slot=row_slot, anchor=anchor,
+                valid=valid, n_chunks=n_chunks, n_padded=n_padded)
+
+
+def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
+                      kernel_width: int, ts: int = 64,
+                      mc: int = 256) -> "ChunkPlan":
+    """Tile-aligned chunk plan (vectorized, no python walk).
+
+    Requires ``kernel_width <= ts``.  Returns a :class:`ChunkPlan` whose
+    anchors are multiples of ``ts`` (windows ``(ts+K)^2``).
+    """
+    n = len(uv)
+    if n == 0:
+        return plan_chunks(uv, sub_uv, w_plane, vis, weights, pixels=pixels,
+                           kernel_width=kernel_width, rv=ts, ru=ts, mc=mc)
+    asg = plan_chunks_tiled_coords(uv, pixels=pixels,
+                                   kernel_width=kernel_width, ts=ts, mc=mc)
+    order, chunk_of, slot_of = asg["order"], asg["chunk_of"], asg["slot_of"]
+    n_padded = asg["n_padded"]
+
     P = vis.shape[1]
     c_uv = np.zeros((n_padded, mc, 2), np.int32)
     c_sub = np.zeros((n_padded, mc, 2), np.int32)
     c_wp = np.zeros((n_padded, mc), np.int32)
     c_vis = np.zeros((n_padded, mc, P), np.complex64)
     c_wt = np.zeros((n_padded, mc, P), np.float32)
-    anchor = np.zeros((n_padded, 2), np.int32)
-    valid = np.zeros((n_padded, mc), bool)
 
     c_uv[chunk_of, slot_of] = uv[order]
     c_sub[chunk_of, slot_of] = sub_uv[order]
     c_wp[chunk_of, slot_of] = w_plane[order]
     c_vis[chunk_of, slot_of] = vis[order]
     c_wt[chunk_of, slot_of] = weights[order]
-    valid[chunk_of, slot_of] = True
-    # anchors per chunk from the tile of its first vis
-    anchor[chunk_of, 0] = (tv[order] * ts).astype(np.int32)
-    anchor[chunk_of, 1] = (tu[order] * ts).astype(np.int32)
 
-    return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, anchor, valid,
-                     order, chunk_of, slot_of)
+    return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, asg["anchor"],
+                     asg["valid"], order, chunk_of, slot_of)
 
 
 
