@@ -119,6 +119,21 @@ class TestCubeMode:
         assert np.all(np.asarray(result.noise) > 0)
         assert np.all(np.asarray(result.psf_peak) > 0)
 
+    def test_uniform_weights_noise_stats(self, sim):
+        """Uniform weighting reports positive weights-derived noise and
+        normalized noise >= 1 from the wave (statistics parity)."""
+        import jax
+
+        cfg = make_cfg(weight_type="uniform", majors=1, minor=20)
+        batch, _ = build_batch(sim, cfg, [0])
+        mesh = make_mesh(jax.devices()[:1], vis_shards=1)
+        result = cube.make_wave_image(mesh, cfg)(batch)
+        wn = float(np.asarray(result.weights_noise)[0])
+        nn = float(np.asarray(result.normalized_noise)[0])
+        assert wn > 0
+        assert nn >= 1.0
+        assert int(np.asarray(result.minor)[0]) > 0
+
     def test_matches_frontend_residual(self, sim):
         """The cube-mode residual for one channel agrees with the
         orchestrated frontend pipeline run with matched parameters."""
