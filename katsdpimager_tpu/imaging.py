@@ -182,6 +182,10 @@ class Imaging:
             host = self._mxu.plan(chunk.uv, chunk.sub_uv, chunk.w_plane,
                                   np.asarray(chunk.vis, np.complex64),
                                   chunk.weights)
+            # The chunked vis payload is never read through the plan
+            # (grid/degrid always take vis_chunked); drop it so the
+            # per-block plan cache stays bounded by coordinates, not data.
+            host = host._replace(vis=host.vis[:0])
             entry = (host, self._mxu.upload_plan(host))
             self._plans[key] = entry
         return entry

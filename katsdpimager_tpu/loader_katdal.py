@@ -115,11 +115,13 @@ _MISSING = object()
 
 def _timestamp_to_fits(timestamp: float) -> str:
     """UNIX time -> FITS ISO-8601 UTC string (reference
-    loader_katdal.py:53-55)."""
-    frac = float(timestamp) % 1.0
-    base = time.strftime("%Y-%m-%dT%H:%M:%S",
-                         time.gmtime(int(float(timestamp))))
-    return base + f"{frac:.3f}".lstrip("0")
+    loader_katdal.py:53-55).  Rounds to milliseconds BEFORE splitting
+    integer/fraction so 0.9996 s carries into the seconds field instead
+    of formatting as "1.000"."""
+    ms = round(float(timestamp) * 1000.0)
+    sec, frac_ms = divmod(ms, 1000)
+    base = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(sec))
+    return base + f".{frac_ms:03d}"
 
 
 def _unique(seq) -> list:

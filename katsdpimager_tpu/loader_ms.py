@@ -108,11 +108,19 @@ def _checked(table, name, data, unit=None, measinfo_type=None,
         if unit is None:
             raise ValueError(f"Found unexpected QuantumUnits for column "
                              f"{name}: {qu}")
-        factors = {_unit_factor(str(u), unit, name) for u in np.ravel(qu)}
-        if factors != {1.0}:
-            if len(factors) != 1:
-                raise ValueError(f"Mixed units in column {name}: {qu}")
-            data = data * factors.pop()
+        qu_arr = np.asarray(qu)
+        factors = np.array([_unit_factor(str(u), unit, name)
+                            for u in qu_arr.ravel()]).reshape(qu_arr.shape)
+        if not np.all(factors == 1.0):
+            if factors.size == 1 or data.ndim == 1:
+                # scalar column (or one unit total)
+                data = data * float(factors.ravel()[0])
+            else:
+                # per-axis units (e.g. one per receptor): broadcast the
+                # factor array over the leading row axis (reference
+                # loader_ms.py:83-95 nditer does the same per-slice)
+                shape = (1,) * (data.ndim - factors.ndim) + factors.shape
+                data = data * factors.reshape(shape)
     measinfo = keywords.get("MEASINFO")
     if measinfo is not None:
         if ((measinfo_type is not None
@@ -139,11 +147,13 @@ def _getcell(table, name, row, unit=None, measinfo_type=None,
 
 
 def _mjdsec_to_fits(mjd_sec: float) -> str:
-    """MJD seconds (UTC) -> FITS ISO-8601 string."""
+    """MJD seconds (UTC) -> FITS ISO-8601 string (millisecond-rounded
+    before the integer/fraction split so .9996 s rolls into seconds)."""
     unix = float(mjd_sec) - _MJD_UNIX_EPOCH * 86400.0
-    frac = unix % 1.0
-    base = _time.strftime("%Y-%m-%dT%H:%M:%S", _time.gmtime(int(unix)))
-    return base + f"{frac:.3f}".lstrip("0")
+    ms = round(unix * 1000.0)
+    sec, frac_ms = divmod(ms, 1000)
+    base = _time.strftime("%Y-%m-%dT%H:%M:%S", _time.gmtime(sec))
+    return base + f".{frac_ms:03d}"
 
 
 class LoaderMS(loader_core.LoaderBase):
@@ -361,8 +371,11 @@ class LoaderMS(loader_core.LoaderBase):
                 tc = _getcol(self._main, "TIME_CENTROID", start, nrow, "s",
                              measinfo_type="epoch", measinfo_ref="UTC")
                 tc = tc[keep]
-                time_sum += float(tc.sum())
-                time_count += len(tc)
+                # average over unique dump times, not rows (each time
+                # repeats per baseline; reference loader_ms.py:423-429)
+                ut = np.unique(tc)
+                time_sum += float(ut.sum())
+                time_count += len(ut)
                 if time_count:
                     self._average_time = time_sum / time_count
             else:
@@ -409,7 +422,12 @@ class LoaderMS(loader_core.LoaderBase):
         nrow = self._main.nrows()
         if nrow:
             stride = max(1, nrow // 20000)
-            uvw = np.asarray(self._main.getcol("UVW"))[::stride]
+            try:
+                # casacore getcol supports a row increment: sample without
+                # materializing the whole column
+                uvw = np.asarray(self._main.getcol("UVW", 0, -1, stride))
+            except TypeError:
+                uvw = np.asarray(self._main.getcol("UVW"))[::stride]
             if not self._strict_uvw:
                 uvw = -uvw
             out["uvw_samples"] = np.asarray(uvw, np.float64)

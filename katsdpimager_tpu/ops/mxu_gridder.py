@@ -1161,14 +1161,15 @@ class MxuGridder:
 
         Device arrays stay on device (jnp scatter); numpy stays on host.
         """
+        shape = plan.weights.shape   # (NC, Mc, P); vis may be dropped
         if isinstance(vis, jnp.ndarray):
             from .. import xfer
 
-            out = xfer.device_zeros(plan.vis.shape, jnp.complex64)
+            out = xfer.device_zeros(shape, jnp.complex64)
             return out.at[jnp.asarray(plan.chunk_of),
                           jnp.asarray(plan.slot_of)].set(
                 vis[jnp.asarray(plan.order)])
-        out = np.zeros(plan.vis.shape, np.complex64)
+        out = np.zeros(shape, np.complex64)
         out[plan.chunk_of, plan.slot_of] = np.asarray(vis)[plan.order]
         return out
 

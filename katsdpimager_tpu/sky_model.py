@@ -125,11 +125,13 @@ def parse_text_model(text: str) -> SkyModel:
 class KatpointTarget:
     """One parsed katpoint description line.
 
-    ``name, tags, ra, dec[, (fmin_MHz fmax_MHz a0 a1 ... [I Q U V])]``:
-    the flux model is ``log10(S_I/Jy) = sum_k a_k log10(f/MHz)^k`` (up to
-    degree 5) scaled per Stokes by the optional (I, Q, U, V) factors,
-    valid only inside [fmin, fmax] (0 outside — reference katpoint
-    semantics via sky_model.py:97-101 nan_to_num)."""
+    ``name, tags, ra, dec[, (fmin_MHz fmax_MHz a b c d e f [I Q U V])]``:
+    the flux model follows katpoint's FluxDensityModel —
+    ``log10(S_I/Jy) = a + b x + c x^2 + d x^3 + e v + f v^2`` with
+    ``x = log10(v)`` and ``v`` the frequency in MHz — scaled per Stokes
+    by the optional (I, Q, U, V) factors, valid only inside
+    [fmin, fmax] (0 outside — reference katpoint semantics via
+    sky_model.py:97-101 nan_to_num)."""
 
     def __init__(self, description: str):
         self.description = description.strip()
@@ -175,8 +177,11 @@ class KatpointTarget:
         lo, hi = self.flux_range
         if not (lo <= freq_hz <= hi):
             return np.zeros(4)
-        x = math.log10(freq_hz / 1e6)
-        log_s = sum(a * x ** k for k, a in enumerate(self.flux_coefs))
+        v = freq_hz / 1e6
+        x = math.log10(v)
+        c = list(self.flux_coefs) + [0.0] * (6 - len(self.flux_coefs))
+        log_s = (c[0] + c[1] * x + c[2] * x ** 2 + c[3] * x ** 3
+                 + c[4] * v + c[5] * v ** 2)
         return 10.0 ** log_s * self.flux_scales
 
     def __eq__(self, other):
@@ -235,7 +240,12 @@ def catalogue_from_telstate(telstate, capture_block_id, continuum,
     try:
         if continuum is None:
             for stream_name in telstate["sdp_archived_streams"]:
+                # stream_type may live under the stream or the
+                # capture-block-prefixed namespace (reference
+                # sky_model.py:139-140 adds both views)
                 view = telstate.view(stream_name, exclusive=True)
+                view = view.view(telstate.join(capture_block_id,
+                                               stream_name))
                 if view.get("stream_type") in ("sdp.continuum_image",
                                                "continuum_image"):
                     if continuum is not None:

@@ -334,3 +334,13 @@ def test_image_end_to_end(fake_open, tmp_path):
     assert abs((iy + n // 2 + 8) - py) <= 2
     assert abs(ix - n // 2) <= 2
     assert win[iy, ix] == pytest.approx(0.9, rel=0.1)
+
+
+def test_timestamp_to_fits_rollover():
+    """Fractional seconds that round to 1.000 roll into the seconds field
+    instead of producing a malformed '...:59.1.000' stamp."""
+    from katsdpimager_tpu.loader_katdal import _timestamp_to_fits
+
+    assert _timestamp_to_fits(1590969599.9996) == "2020-06-01T00:00:00.000"
+    assert _timestamp_to_fits(1590969600.0) == "2020-06-01T00:00:00.000"
+    assert _timestamp_to_fits(1590969600.25) == "2020-06-01T00:00:00.250"

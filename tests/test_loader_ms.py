@@ -26,11 +26,11 @@ class FakeTable:
         self._nrows = nrows
         self._keywords = keywords or {}
 
-    def getcol(self, name, start=0, nrow=None):
+    def getcol(self, name, start=0, nrow=None, rowincr=1):
         col = self._cols[name]
-        if nrow is None:
-            return col
-        return col[start:start + nrow]
+        if nrow is None or nrow == -1:
+            return col[start::rowincr]
+        return col[start:start + nrow:rowincr]
 
     def getcell(self, name, row):
         return self._cols[name][row]

@@ -252,3 +252,15 @@ class TestFitsVideo:
         out = str(tmp_path / "v.gif")
         assert fits_video.main([str(tmp_path / "c*.fits"), out]) == 0
         assert (tmp_path / "v.gif").stat().st_size > 0
+
+
+def test_katpoint_flux_ef_terms():
+    """Coefficients e and f multiply the frequency in MHz (katpoint
+    FluxDensityModel semantics), not higher log powers."""
+    from katsdpimager_tpu import sky_model
+
+    t = sky_model.KatpointTarget(
+        "src, radec, 3:30:00, -35:00:00, (500 2000 1.0 -0.7 0 0 0.001 0)")
+    s = t.flux_density_stokes(1e9)
+    expect = 10.0 ** (1.0 - 0.7 * 3.0 + 0.001 * 1000.0)
+    assert s[0] == pytest.approx(expect, rel=1e-9)
