@@ -123,6 +123,20 @@ class TestEndToEnd:
             scale = max(np.abs(want).max(), 0.1)
             assert np.abs(got - want).max() / scale < 0.35, pol
 
+    def test_robust_weighting(self, sim_dataset):
+        """Briggs robust weighting runs end-to-end and recovers the
+        phase-centre source (robustness interpolates natural<->uniform)."""
+        cap = run_capture(sim_dataset, [
+            sim_dataset, "/tmp/ignored_%c.fits",
+            "--stokes", "I", "--pixels", "512",
+            "--major", "1", "--minor", "150", "--kernel-width", "16",
+            "--weight-type", "robust", "--robustness", "0.0",
+        ])
+        image = cap["clean"]
+        assert image[0, 256, 256] == pytest.approx(1.0, rel=0.15)
+        assert cap["stats"]["weights_noise"] is not None
+        assert cap["stats"]["normalized_noise"] >= 1.0
+
     def test_cli_writes_fits(self, sim_dataset, tmp_path):
         out = str(tmp_path / "clean_%c.fits")
         rc = imager_cli.main([
