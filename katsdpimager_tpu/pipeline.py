@@ -146,6 +146,9 @@ class PipelineWriter(frontend.Writer):
         try:
             obs = dataset.observation()
             if obs:
+                band = dataset.band()
+                if band:
+                    obs = dict(obs, band=band)
                 self.store.set("observation", {
                     k: (np.asarray(v).tolist()
                         if isinstance(v, (np.ndarray, tuple, list)) else v)

@@ -162,11 +162,29 @@ def write_report(state_path: str, output_path: str,
         (stats[c].get("totals") or {}).get("I", np.nan) for c in channels])
 
     plots: List[str] = []
+    obs = load_observation(state_path)
     if channels:
         fig, ax = plt.subplots(figsize=(7, 3))
         ax.plot(freqs, noise * 1e6, label="measured")
         if np.isfinite(weights_noise).any():
             ax.plot(freqs, weights_noise * 1e6, label="from weights")
+        # SEFD-predicted thermal noise (radiometer equation), when the
+        # observation summary carries the band and geometry (reference
+        # report.py SNR plot shows the same predicted-vs-measured pair)
+        if (obs and obs.get("band") and obs.get("time_range")
+                and obs.get("antenna_positions") is not None
+                and len(channels) >= 2):
+            model = meerkat_sefd_model(obs["band"])
+            if model is not None:
+                t0, t1 = obs["time_range"]
+                n_ant = len(obs["antenna_positions"])
+                bw = float(np.median(np.abs(np.diff(freqs)))) * 1e6
+                if t1 > t0 and bw > 0:
+                    pred = [predicted_noise(float(model(f * 1e6)), n_ant,
+                                            bw, t1 - t0)
+                            for f in freqs]
+                    ax.plot(freqs, np.asarray(pred) * 1e6, "--",
+                            label="predicted (SEFD)")
         ax.set_xlabel("Frequency [MHz]")
         ax.set_ylabel("Noise [uJy/beam]")
         ax.legend()
@@ -206,7 +224,6 @@ def write_report(state_path: str, output_path: str,
         ax.set_title("Status (green=complete, orange=no data)")
         plots.append(_fig_to_b64(fig))
 
-    obs = load_observation(state_path)
     if obs:
         mid_freq = (float(np.nanmean(freqs)) * 1e6
                     if channels and np.isfinite(freqs).any() else None)
