@@ -13,23 +13,31 @@ visibility runs on the MXU (systolic array):
    visibilities, consecutive records are spatially adjacent and chunks are
    dense in the UV centre.
 
-2. **Assembly (device, gather-only)** — for each chunk the separable
-   kernel factors are expanded into two dense matrices:
+2. **Assembly (device)** — for each chunk the separable kernel factors
+   are expanded into two dense matrices
    ``V[r, m] = conj(kernel[wp_m, sub_v_m, r - (v0_m - anchor_v)])`` of
    shape ``(Rv + K, Mc)`` and
    ``U[m, c] = sample_m * conj(kernel[wp_m, sub_u_m, c - (u0_m - anchor_u)])``
-   of shape ``(Mc, Ru + K)``, built by index arithmetic + gathers (no
-   scatters).  ``sample`` carries the visibility times its density weight.
+   of shape ``(Mc, Ru + K)``.  The TPU default (``assembly="tapdict"``)
+   gathers each row fully shifted from a precomputed (kernel row,
+   in-tile shift) dictionary — one gather per factor matrix, no
+   per-vis tap placement at all; ``fft`` (batched-iFFT phase-ramp
+   materialization, the CPU default), ``matmul`` (iDFT matrices folded
+   into the band product), ``tapsmm``, ``onehot`` and ``joint`` are
+   selectable variants (v5e sweep in doc/PERFORMANCE.md).
 
 3. **Accumulation (device, MXU)** — the chunk's grid contribution is the
-   rank-``Mc`` product ``V @ U``, added into the grid window at the chunk
-   anchor with a dynamic-slice read-modify-write inside a ``lax.scan``.
-   With ``Rv = Ru = 64`` and ``K = 60`` the matmul does
+   rank-``Mc`` product ``V @ U``.  The dense formulation computes all
+   bands in parallel groups and lands them in a 4-colour tile array
+   (same-colour windows are disjoint) folded into the grid with four
+   dense shifted adds; the scan formulation accumulates windows
+   sequentially with dynamic-slice read-modify-writes.  With
+   ``Rv = Ru = 64`` and ``K = 60`` the matmul does
    :math:`(R+K)^2 M_c` useful-plus-padding work at ~23% density — orders
    of magnitude faster than elementwise scatter for large kernels.
 
 Degridding is the transpose: ``T = V^T @ window`` (MXU) followed by a
-gathered K-tap contraction per visibility.
+tap contraction per visibility, with the same assembly choices.
 
 Numerical semantics are identical to :mod:`.gridder` (same conventions,
 different evaluation order; f32 sums reassociate).
