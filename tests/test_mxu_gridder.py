@@ -265,3 +265,36 @@ def test_dense_grid_dynamic_chunk_bound(assembly):
 
     np.testing.assert_allclose(run_degrid(jnp.int32(n_occ)),
                                run_degrid(None), rtol=1e-6, atol=1e-6)
+
+
+def test_plan_coords_matches_full_plan():
+    """plan_chunks_tiled_coords produces exactly the assignment the full
+    planner uses, and the row mapping round-trips payload placement."""
+    rng = np.random.default_rng(9)
+    n, pixels, K, ts, mc = 5000, 512, 16, 64, 64
+    lim = pixels // 2 - K - 1
+    uv = np.clip(rng.normal(scale=lim / 3, size=(n, 2)), -lim, lim
+                 ).astype(np.int16)
+    sub = rng.integers(0, 8, size=(n, 2)).astype(np.int16)
+    wp = rng.integers(0, 4, size=n).astype(np.int16)
+    vis = (rng.normal(size=(n, 1))
+           + 1j * rng.normal(size=(n, 1))).astype(np.complex64)
+    wts = rng.uniform(0.5, 2.0, size=(n, 1)).astype(np.float32)
+
+    plan = mxu_gridder.plan_chunks_tiled(
+        uv, sub, wp, vis, wts, pixels=pixels, kernel_width=K, ts=ts, mc=mc)
+    asg = mxu_gridder.plan_chunks_tiled_coords(
+        uv, pixels=pixels, kernel_width=K, ts=ts, mc=mc)
+
+    np.testing.assert_array_equal(asg["order"], plan.order)
+    np.testing.assert_array_equal(asg["chunk_of"], plan.chunk_of)
+    np.testing.assert_array_equal(asg["slot_of"], plan.slot_of)
+    np.testing.assert_array_equal(asg["anchor"], plan.anchor)
+    np.testing.assert_array_equal(asg["valid"], plan.valid)
+
+    # streamed placement via the per-ROW mapping reproduces the payload
+    out = np.zeros_like(plan.vis)
+    for start in range(0, n, 777):   # arbitrary block size
+        rr = slice(start, min(n, start + 777))
+        out[asg["row_chunk"][rr], asg["row_slot"][rr]] = vis[rr]
+    np.testing.assert_array_equal(out, plan.vis)
