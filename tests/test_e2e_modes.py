@@ -106,3 +106,21 @@ def test_primary_beam_correction(sim_dataset):
     # Division by power <= 1 boosts values; the model path and restore
     # differ slightly between runs, so require the bulk statistic.
     assert np.median(ratio) >= 1.0
+
+
+def test_vis_block_streaming_invariance(sim_dataset):
+    """Imaging with a tiny --vis-block (many streamed blocks, per-block
+    chunk plans) reproduces the single-block result to reassociation
+    tolerance (gridding is additive)."""
+    from tests.test_e2e import run_capture
+
+    argv = [sim_dataset, "/tmp/ignored_%c.fits", "--pixels", "256",
+            "--kernel-width", "12", "--major", "1", "--minor", "50"]
+    full = run_capture(sim_dataset, argv)
+    blocked = run_capture(sim_dataset, argv + ["--vis-block", "701"])
+    a, b = full["clean"], blocked["clean"]
+    peak = np.abs(a).max()
+    # f32 gridding reassociation (~1e-7 grid-level) is FFT-amplified to
+    # ~3e-4 of peak (see test_accuracy_gate) and CLEAN's thresholded
+    # component selection can amplify slightly further.
+    assert np.abs(a - b).max() < 1e-3 * peak
