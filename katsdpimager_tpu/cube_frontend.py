@@ -33,7 +33,6 @@ import logging
 from typing import List
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from . import frontend, parameters, polarization, sky_model

@@ -16,7 +16,7 @@ import concurrent.futures
 import logging
 import math
 from abc import abstractmethod
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -26,7 +26,6 @@ from . import (
 )
 from .ops import beam as beam_ops
 from .ops import clean as clean_ops
-from .ops import predict as predict_ops
 from .ops import weights as weight_ops
 from .profiling import profile, profile_function
 

@@ -13,7 +13,6 @@ entries carry zero vis/weights and are no-ops in every operator.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import numpy as np

@@ -12,10 +12,8 @@ from __future__ import annotations
 
 import json
 import logging
-import math
 import os
 import tempfile
-from typing import Optional
 
 import numpy as np
 
