@@ -377,11 +377,10 @@ class TestFeedFrame:
             LoaderMS(path, ["--pol-frame=feed"])
 
 
-def test_frontend_e2e(monkeypatch, tmp_path):
-    """Drive a fake MS through loader registry + preprocessing + imaging
-    to a dirty image (VERDICT r1 weak item 5): a flat-spectrum point
-    source at the phase centre must peak at the centre pixel with ~unit
-    Stokes-I flux."""
+def _run_fake_ms_e2e(monkeypatch, tmp_path, loader_options,
+                     receptor_cancels_pa=False):
+    """Drive a fake MS through loader registry + preprocessing + imaging;
+    returns the dirty image of a unit phase-centre point source."""
     from katsdpimager_tpu import arguments, frontend, imager as imager_cli
     from katsdpimager_tpu import loader
 
@@ -398,6 +397,17 @@ def test_frontend_e2e(monkeypatch, tmp_path):
     # UVW spanning a few hundred wavelengths at 1 GHz
     main._cols["UVW"] = rng.uniform(-120, 120, (nrow, 3))
     main._cols["UVW"][:, 2] = rng.uniform(-4, 4, nrow)
+    if receptor_cancels_pa:
+        # receptor angle = -parallactic angle at t0: the feed->sky
+        # rotation is (near-)identity, so the feed-frame path must
+        # reproduce the sky-frame image while exercising the full
+        # rotated-Mueller machinery.
+        lat, lon, _ = ephem.ecef_to_geodetic(ANT_POS)
+        pa = np.array([ephem.parallactic_angle(lat[a], lon[a], 0.5, -0.6,
+                                               T0_UNIX)
+                       for a in range(4)])
+        tables["FEED"]._cols["RECEPTOR_ANGLE"] = np.repeat(
+            -pa[:, None], 2, axis=1)
     path = install(monkeypatch, tmp_path, tables)
 
     parser = imager_cli.get_parser()
@@ -425,15 +435,33 @@ def test_frontend_e2e(monkeypatch, tmp_path):
         def statistics(self, dataset, channel, **kwargs):
             cap["stats"] = kwargs
 
-    dataset = loader.load(path, [])
+    dataset = loader.load(path, loader_options)
     try:
         frontend.run(args, dataset, CaptureWriter())
     finally:
         dataset.close()
-    dirty = cap["dirty"]
+    return cap["dirty"]
+
+
+def test_frontend_e2e(monkeypatch, tmp_path):
+    """Fake MS -> registry -> preprocessing -> dirty image (VERDICT r1
+    weak item 5): the phase-centre point source peaks at the centre pixel
+    with ~unit Stokes-I flux."""
+    dirty = _run_fake_ms_e2e(monkeypatch, tmp_path, [])
     peak_idx = np.unravel_index(np.argmax(dirty[0]), dirty[0].shape)
     assert peak_idx == (32, 32)
     assert dirty[0, 32, 32] == pytest.approx(1.0, rel=0.05)
+
+
+def test_frontend_e2e_feed_frame(monkeypatch, tmp_path):
+    """pol-frame=feed drives the rotated-Mueller preprocessing path end to
+    end; with receptor angles cancelling the parallactic angle the result
+    must match the sky-frame image."""
+    sky = _run_fake_ms_e2e(monkeypatch, tmp_path, [])
+    feed = _run_fake_ms_e2e(monkeypatch, tmp_path, ["--pol-frame=feed"],
+                            receptor_cancels_pa=True)
+    peak = np.abs(sky).max()
+    assert np.abs(feed - sky).max() < 1e-4 * peak
 
 
 def test_observation_summary(fake_ms):
