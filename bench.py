@@ -50,6 +50,24 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _accelerator_usable() -> bool:
+    """Probe the accelerator with a tiny op IN A SUBPROCESS: the axon
+    tunnel can wedge (ops hang rather than fail), and a hung probe in
+    this process would take the whole benchmark down with it."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((8, 8)))),"
+            " jax.devices()[0].platform)")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=240,
+                             capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "cpu" not in out.stdout.split()[-1:]
+
+
 def _pair(x: np.ndarray):
     return jnp.asarray(np.stack([x.real, x.imag], axis=-1).astype(np.float32))
 
@@ -59,7 +77,11 @@ def main():
         MultiChannelConfig, make_example_batch, single_channel_step,
     )
 
-    on_accel = jax.devices()[0].platform != "cpu"
+    plat = (jax.config.jax_platforms or "").split(",")[0]
+    on_accel = plat not in ("", "cpu") and _accelerator_usable()
+    if not on_accel:
+        # fall back BEFORE any backend initializes in this process
+        jax.config.update("jax_platforms", "cpu")
     if on_accel:
         cfg = MultiChannelConfig(
             pixels=4096, num_pols=1, kernel_width=60, oversample=8,
