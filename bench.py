@@ -77,8 +77,11 @@ def main():
         MultiChannelConfig, make_example_batch, single_channel_step,
     )
 
+    # When jax_platforms is unset, don't assume CPU: the subprocess probe
+    # reports the default backend's platform, so a directly attached
+    # accelerator is detected even without JAX_PLATFORMS in the env.
     plat = (jax.config.jax_platforms or "").split(",")[0]
-    on_accel = plat not in ("", "cpu") and _accelerator_usable()
+    on_accel = plat != "cpu" and _accelerator_usable()
     if not on_accel:
         # fall back BEFORE any backend initializes in this process
         jax.config.update("jax_platforms", "cpu")

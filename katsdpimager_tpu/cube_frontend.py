@@ -377,6 +377,12 @@ def run_cube(args, dataset, writer) -> None:
         psf_peaks = np.asarray(result.psf_peak)
         minors = np.asarray(result.minor)
         w_noise = np.asarray(result.weights_noise)
+        # Match the per-channel path (frontend.make_weights) and the
+        # reference (frontend.py:101-102): thermal noise derived from
+        # weights must be scaled by the dataset's weight calibration.
+        wscale = dataset.weight_scale()
+        if wscale is not None:
+            w_noise = np.where(w_noise < 0, w_noise, w_noise * wscale)
         norm_noise = np.asarray(result.normalized_noise)
         for i, ch in enumerate(wave_channels):
             rel = ch - start

@@ -327,8 +327,10 @@ class LoaderMS(loader_core.LoaderBase):
         n_ant = self._antenna.nrows()
         if self._feed_frame:
             ra, dec = self.phase_centre()
-        time_sum = 0.0
-        time_count = 0
+        # Accumulate the set of distinct dump times across chunks: a dump
+        # whose rows straddle a chunk boundary must not be counted twice
+        # in the DATE-AVG mean.
+        times_seen: set = set()
         for start in range(0, total, step):
             nrow = min(total - start, step)
             ant1 = np.asarray(self._main.getcol("ANTENNA1", start, nrow))
@@ -373,11 +375,10 @@ class LoaderMS(loader_core.LoaderBase):
                 tc = tc[keep]
                 # average over unique dump times, not rows (each time
                 # repeats per baseline; reference loader_ms.py:423-429)
-                ut = np.unique(tc)
-                time_sum += float(ut.sum())
-                time_count += len(ut)
-                if time_count:
-                    self._average_time = time_sum / time_count
+                times_seen.update(np.unique(tc).tolist())
+                if times_seen:
+                    self._average_time = (sum(times_seen)
+                                          / len(times_seen))
             else:
                 tc = None
 
@@ -432,12 +433,20 @@ class LoaderMS(loader_core.LoaderBase):
                 uvw = -uvw
             out["uvw_samples"] = np.asarray(uvw, np.float64)
             if "TIME_CENTROID" in self._main.colnames():
-                t0 = float(np.asarray(self._main.getcell("TIME_CENTROID",
-                                                         0)))
-                t1 = float(np.asarray(self._main.getcell("TIME_CENTROID",
-                                                         nrow - 1)))
-                out["time_range"] = (min(t0, t1) - _MJD_UNIX_EPOCH * 86400.0,
-                                     max(t0, t1) - _MJD_UNIX_EPOCH * 86400.0)
+                # MS rows need not be time-ordered: take min/max over a
+                # strided sample of the (unit-checked) column rather than
+                # the first/last rows.
+                try:
+                    tc = np.asarray(self._main.getcol(
+                        "TIME_CENTROID", 0, -1, stride))
+                except TypeError:
+                    tc = np.asarray(
+                        self._main.getcol("TIME_CENTROID"))[::stride]
+                tc = _checked(self._main, "TIME_CENTROID", tc, "s",
+                              measinfo_type="epoch", measinfo_ref="UTC")
+                out["time_range"] = (
+                    float(tc.min()) - _MJD_UNIX_EPOCH * 86400.0,
+                    float(tc.max()) - _MJD_UNIX_EPOCH * 86400.0)
         return out
 
     def extra_fits_headers(self) -> dict:

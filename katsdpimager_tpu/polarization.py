@@ -24,6 +24,7 @@ STOKES_YX = 11
 STOKES_YY = 12
 
 STOKES_IQUV = [STOKES_I, STOKES_Q, STOKES_U, STOKES_V]
+STOKES_CIRCULAR = [STOKES_RR, STOKES_RL, STOKES_LR, STOKES_LL]
 
 #: Names for polarizations used in display and command line
 STOKES_NAMES = [None, "I", "Q", "U", "V", "RR", "RL", "LR", "LL", "XX", "XY", "YX", "YY"]
@@ -54,20 +55,33 @@ STOKES_COEFF = np.array(
 def polarization_matrix(outputs, inputs) -> np.ndarray:
     """Mueller matrix mapping correlation products `inputs` to `outputs`.
 
-    With ``s`` the Stokes vector, inputs measure ``A s`` and outputs ``B s``
-    (rows of :data:`STOKES_COEFF`); solve ``X A s = B s`` by least squares.
-    Raises ValueError when the inputs do not span the outputs.
+    Each product measures a fixed Gaussian-integer combination of the
+    Stokes vector ``s`` (rows of :data:`STOKES_COEFF`): inputs observe
+    ``A s``, outputs ``B s``, and the conversion ``M`` satisfies
+    ``M A = B``.  A float least-squares solve only *proposes* ``M``; the
+    returned matrix is certified exactly.  Because the Stokes coefficients
+    lie in ``{0, ±1, ±i}`` and any invertible product basis has
+    determinant of modulus 4, every realizable conversion has entries in
+    ``(Z + iZ)/4``.  We therefore round ``4M`` to Gaussian integers and
+    check ``(4M) A == 4B`` — small-integer complex arithmetic is exact in
+    floating point — so the result carries no lstsq rounding noise at all
+    (exact zeros matter for weight propagation).
+
+    Raises ValueError when the inputs cannot produce the outputs.
     """
-    A = STOKES_COEFF[list(inputs), :].T
-    B = STOKES_COEFF[list(outputs), :].T
-    X, _resid, _rank, _s = np.linalg.lstsq(A, B, rcond=1e-5)
-    if np.linalg.norm(A @ X - B, "fro") > 1e-5:
-        raise ValueError("no solution: inputs cannot produce requested outputs")
-    # Typical entries are multiples of 0.25; snap near-multiples to kill
-    # lstsq rounding noise (exact zeros matter for weight propagation).
-    Xr = np.round(np.float32(4) * X) * np.float32(0.25)
-    np.putmask(X, np.isclose(X, Xr), Xr)
-    return np.ascontiguousarray(X.T.astype(np.complex64))
+    A = STOKES_COEFF[list(inputs), :].astype(np.complex128)   # (n_in, 4)
+    B = STOKES_COEFF[list(outputs), :].astype(np.complex128)  # (n_out, 4)
+    # Solve A^T M^T = B^T for the proposal (least-norm when inputs are
+    # linearly dependent; least-squares residual when they don't span).
+    Mt, _res, _rank, _sv = np.linalg.lstsq(A.T, B.T, rcond=None)
+    M = Mt.T                                                  # (n_out, n_in)
+    M4 = np.round(M.real * 4) + 1j * np.round(M.imag * 4)
+    if np.array_equal(M4 @ A, 4 * B):
+        M = M4 * 0.25
+    elif not np.allclose(M @ A, B, atol=1e-9):
+        raise ValueError(
+            "no solution: inputs cannot produce requested outputs")
+    return np.ascontiguousarray(M.astype(np.complex64))
 
 
 def polarization_matrices(outputs, inputs):
@@ -77,8 +91,8 @@ def polarization_matrices(outputs, inputs):
     is diagonal in the circular frame, so per-visibility rotation is applied
     between these two constant matrices (see :mod:`katsdpimager_tpu.preprocess`).
     """
-    circular = [STOKES_RR, STOKES_RL, STOKES_LR, STOKES_LL]
-    return polarization_matrix(outputs, circular), polarization_matrix(circular, inputs)
+    return (polarization_matrix(outputs, STOKES_CIRCULAR),
+            polarization_matrix(STOKES_CIRCULAR, inputs))
 
 
 def parse_stokes(str_value):

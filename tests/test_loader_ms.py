@@ -378,7 +378,8 @@ class TestFeedFrame:
 
 
 def _run_fake_ms_e2e(monkeypatch, tmp_path, loader_options,
-                     receptor_cancels_pa=False):
+                     receptor_cancels_pa=False, stokes="I",
+                     make_vis=None, receptor_angle=None):
     """Drive a fake MS through loader registry + preprocessing + imaging;
     returns the dirty image of a unit phase-centre point source."""
     from katsdpimager_tpu import arguments, frontend, imager as imager_cli
@@ -388,11 +389,17 @@ def _run_fake_ms_e2e(monkeypatch, tmp_path, loader_options,
     tables, *_ = build_tables(rng)
     main = tables["main"]
     nrow, nchan, npol = 12, 3, 4
-    # Point source at phase centre: XX = YY = 1, XY = YX = 0 -> I = 1
-    vis = np.zeros((nrow, nchan, npol), np.complex64)
-    vis[:, :, 0] = 1.0
-    vis[:, :, 3] = 1.0
+    if make_vis is not None:
+        vis = np.asarray(make_vis(nrow, nchan, npol), np.complex64)
+    else:
+        # Point source at phase centre: XX = YY = 1, XY = YX = 0 -> I = 1
+        vis = np.zeros((nrow, nchan, npol), np.complex64)
+        vis[:, :, 0] = 1.0
+        vis[:, :, 3] = 1.0
     main._cols["DATA"] = vis
+    if receptor_angle is not None:
+        tables["FEED"]._cols["RECEPTOR_ANGLE"] = np.full(
+            (4, 2), receptor_angle)
     main._cols["FLAG"][:] = False
     # UVW spanning a few hundred wavelengths at 1 GHz
     main._cols["UVW"] = rng.uniform(-120, 120, (nrow, 3))
@@ -413,6 +420,7 @@ def _run_fake_ms_e2e(monkeypatch, tmp_path, loader_options,
     parser = imager_cli.get_parser()
     args = parser.parse_args(
         [path, str(tmp_path / "out_%c.fits"), "--stop-channel=1",
+         f"--stokes={stokes}",
          "--pixels=64", "--kernel-width=8", "--aa-width=5",
          "--grid-oversample=4", "--major=1", "--minor=1", "--host"],
         namespace=arguments.SmartNamespace())
@@ -462,6 +470,65 @@ def test_frontend_e2e_feed_frame(monkeypatch, tmp_path):
                             receptor_cancels_pa=True)
     peak = np.abs(sky).max()
     assert np.abs(feed - sky).max() < 1e-4 * peak
+
+
+def _independent_parallactic(lat, lon, ra, dec, t_unix):
+    """Parallactic angle from first principles, sharing no code with
+    :mod:`katsdpimager_tpu.ephem`: IAU 1982 GMST literals (USNO circular
+    163) + the standard spherical-triangle formula, position angle of the
+    zenith at the source measured from north through east."""
+    d = (t_unix - 946728000.0) / 86400.0   # days since J2000.0 (UTC)
+    gmst_hours = (18.697374558 + 24.06570982441908 * d) % 24.0
+    H = gmst_hours * np.pi / 12.0 + lon - ra
+    return np.arctan2(
+        np.sin(H) * np.cos(lat),
+        np.sin(lat) * np.cos(dec) - np.cos(lat) * np.sin(dec) * np.cos(H))
+
+
+def test_feed_frame_sign_polarized_source(monkeypatch, tmp_path):
+    """Pin the feed-angle SIGN against externally derived physics.
+
+    A Q-polarized source observed by an alt-az antenna whose feed x-axis
+    sits at parallactic angle chi on the sky measures
+    ``Q_f + iU_f = exp(-2i*chi) * (Q + iU)`` — linear polarization
+    rotated by the frame angle.  We synthesize feed-frame correlations
+    with chi from an independent in-test formula (literal GMST
+    coefficients, not ephem.py) and require ``--pol-frame=feed`` to
+    recover the true sky (Q, U).  A flipped sign anywhere in the
+    loader -> ephem -> rotated-Mueller chain leaves a residual rotation
+    of 4*chi (here sin(2*chi) ~ 0.99) and fails loudly.  Closes the
+    self-cancellation blind spot of test_frontend_e2e_feed_frame
+    (reference sign construction: loader_ms.py:436-451)."""
+    ra, dec = 0.5, -0.6
+    lat, lon, _ = ephem.ecef_to_geodetic(ANT_POS)
+    I_sky, Q_sky, U_sky = 1.0, 0.6, 0.0
+    row_t = T0_UNIX + np.repeat([0.0, 8.0], 6)
+    # Site/epoch must make the test sensitive to the sign
+    chi0 = _independent_parallactic(lat[0], lon[0], ra, dec, T0_UNIX)
+    assert abs(np.sin(2 * chi0)) > 0.5
+    # ... and the independent formula must agree with ephem's convention
+    assert ephem.parallactic_angle(lat[0], lon[0], ra, dec, T0_UNIX) \
+        == pytest.approx(chi0, abs=1e-5)
+
+    def make_vis(nrow, nchan, npol):
+        chi = _independent_parallactic(lat[0], lon[0], ra, dec, row_t)
+        qf = Q_sky * np.cos(2 * chi) + U_sky * np.sin(2 * chi)
+        uf = -Q_sky * np.sin(2 * chi) + U_sky * np.cos(2 * chi)
+        vis = np.zeros((nrow, nchan, npol), np.complex64)
+        vis[:, :, 0] = (I_sky + qf)[:, None]   # XX = I + Q_f
+        vis[:, :, 1] = uf[:, None]             # XY = U_f + iV
+        vis[:, :, 2] = uf[:, None]             # YX = U_f - iV
+        vis[:, :, 3] = (I_sky - qf)[:, None]   # YY = I - Q_f
+        return vis
+
+    dirty = _run_fake_ms_e2e(
+        monkeypatch, tmp_path, ["--pol-frame=feed"], stokes="IQUV",
+        make_vis=make_vis, receptor_angle=0.0)
+    centre = dirty[:, 32, 32]
+    assert centre[0] == pytest.approx(I_sky, abs=0.05)
+    assert centre[1] == pytest.approx(Q_sky, abs=0.05)
+    assert centre[2] == pytest.approx(U_sky, abs=0.05)
+    assert centre[3] == pytest.approx(0.0, abs=0.05)
 
 
 def test_observation_summary(fake_ms):
