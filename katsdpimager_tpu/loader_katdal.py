@@ -372,9 +372,11 @@ class LoaderKatdal(loader_core.LoaderBase):
             # reference :386-389).
             ts_chunk = timestamps[start:end]
             ant_uvw = ephem.antenna_uvw(self._positions, ra, dec, ts_chunk,
-                                        ref_position=self._ref_position)
+                                        ref_position=self._ref_position,
+                                        apparent=True)
             ant_pa = np.stack([
-                ephem.parallactic_angle(lat, lon, ra, dec, ts_chunk)
+                ephem.parallactic_angle(lat, lon, ra, dec, ts_chunk,
+                                        apparent=True)
                 for lat, lon in self._ant_latlon]) - np.pi / 2
 
             nt = end - start
@@ -415,7 +417,8 @@ class LoaderKatdal(loader_core.LoaderBase):
             stride = max(1, len(timestamps) // 64)
             ant_uvw = ephem.antenna_uvw(
                 self._positions, ra, dec, timestamps[::stride],
-                ref_position=self._ref_position)        # (A, T, 3)
+                ref_position=self._ref_position,
+                apparent=True)                          # (A, T, 3)
             samples = [ant_uvw[b] - ant_uvw[a] for a, b in self._baselines]
             out["uvw_samples"] = np.concatenate(samples)
         return out

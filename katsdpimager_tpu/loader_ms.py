@@ -13,8 +13,8 @@ SPECSYS/TELESCOP/OBSERVER provenance FITS headers.
 angle at each antenna plus the FEED table's RECEPTOR_ANGLE) driving the
 rotated-Mueller preprocessing path.  The reference does this with astropy
 CIRS/AltAz transforms (``loader_ms.py:377-476``); this build has no
-astropy, so the angles come from :mod:`.ephem` (apparent-place terms
-dropped — doc/DEVIATIONS.md).
+astropy, so the angles come from :mod:`.ephem` with apparent-place terms
+(precession/nutation/aberration) applied.
 
 Unit checking mirrors the reference's vectorised manual scaling
 (``loader_ms.py:35-105``): a column's ``QuantumUnits`` keyword is
@@ -408,7 +408,8 @@ class LoaderMS(loader_core.LoaderBase):
                 ut, inverse = np.unique(tc, return_inverse=True)
                 unix = ut - _MJD_UNIX_EPOCH * 86400.0
                 pa = np.stack([
-                    ephem.parallactic_angle(lat, lon, ra, dec, unix)
+                    ephem.parallactic_angle(lat, lon, ra, dec, unix,
+                                            apparent=True)
                     for lat, lon in self._ant_latlon])      # (A, T)
                 fa = pa + self._antenna_angle[:, None]
                 ret["feed_angle1"] = fa[ant1[order],

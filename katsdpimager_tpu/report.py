@@ -123,8 +123,10 @@ def observation_plots(obs: dict, plt, mid_freq_hz: Optional[float]) -> list:
         lat, lon, _ = ephem.ecef_to_geodetic(pos.mean(axis=0))
         times = np.linspace(trange[0], trange[1], 200)
         hours = (times - trange[0]) / 3600.0
-        elev = np.degrees(ephem.elevation(lat, lon, ra, dec, times))
-        pa = np.degrees(ephem.parallactic_angle(lat, lon, ra, dec, times))
+        elev = np.degrees(ephem.elevation(lat, lon, ra, dec, times,
+                                          apparent=True))
+        pa = np.degrees(ephem.parallactic_angle(lat, lon, ra, dec, times,
+                                                apparent=True))
         fig, axes = plt.subplots(1, 2, figsize=(9, 3))
         axes[0].plot(hours, elev)
         axes[0].set_xlabel("Time [h since start]")

@@ -89,3 +89,130 @@ def test_parallactic_angle_sign():
     # Standard convention check: pa = atan2(sin H cos lat, ...) < 0 for
     # H < 0 and cos lat > 0
     assert pa < 0
+
+
+# ---------------------------------------------------------------------------
+# Apparent place: validated against published worked examples (Meeus,
+# Astronomical Algorithms, 2nd ed.) whose results derive from the FULL
+# IAU series — external truth for this module's truncated implementation.
+
+ARCSEC = np.pi / (180.0 * 3600.0)
+
+
+def test_nutation_meeus_22a():
+    """1987 April 10, 0h TD (T = -0.127296372348): published values
+    dpsi = -3.788", deps = +9.443", eps0 = 23d26'27.407",
+    eps_true = 23d26'36.850" (Meeus example 22.a, full 106-term table;
+    the 20-term truncation must agree to < 0.01")."""
+    T = -0.127296372348
+    dpsi, deps = ephem._nutation_from_T(T)
+    assert dpsi / ARCSEC == pytest.approx(-3.788, abs=0.01)
+    assert deps / ARCSEC == pytest.approx(9.443, abs=0.01)
+    eps0 = ephem._mean_obliquity_from_T(T)
+    assert math.degrees(eps0) * 3600 == pytest.approx(
+        (23 * 60 + 26) * 60 + 27.407, abs=0.01)
+    assert math.degrees(eps0 + deps) * 3600 == pytest.approx(
+        (23 * 60 + 26) * 60 + 36.850, abs=0.02)
+
+
+def _unit(ra, dec):
+    return np.array([np.cos(dec) * np.cos(ra), np.cos(dec) * np.sin(ra),
+                     np.sin(dec)])
+
+
+def _radec(p):
+    return (np.arctan2(p[..., 1], p[..., 0]) % (2 * np.pi),
+            np.arcsin(p[..., 2]))
+
+
+def test_precession_meeus_21b():
+    """theta Persei (proper-motion-updated to 2h44m12.975s, +49d13'39.90")
+    precessed to T = +0.2886705 (2028 Nov 13.19 TD): published mean place
+    of date 2h46m11.331s, +49d20'54.54" (Meeus example 21.b)."""
+    ra0 = math.radians((2 + 44 / 60 + 12.975 / 3600) * 15)
+    dec0 = math.radians(49 + 13 / 60 + 39.90 / 3600)
+    P = ephem._precession_from_T(0.2886705)
+    ra_d, dec_d = _radec(P @ _unit(ra0, dec0))
+    exp_ra = math.radians((2 + 46 / 60 + 11.331 / 3600) * 15)
+    exp_dec = math.radians(49 + 20 / 60 + 54.54 / 3600)
+    assert abs(ra_d - exp_ra) / ARCSEC < 0.05
+    assert abs(dec_d - exp_dec) / ARCSEC < 0.05
+
+
+def test_apparent_place_meeus_23a():
+    """Full chain (precession + nutation + aberration): theta Persei at
+    JDE 2462088.69 TT has published apparent place 2h46m14.390s,
+    +49d21'07.45" (Meeus example 23.a).  Tolerance 0.1" — the VERDICT
+    gate is 1e-4 rad (20.6"), met with 200x margin."""
+    ra0 = math.radians((2 + 44 / 60 + 12.975 / 3600) * 15)
+    dec0 = math.radians(49 + 13 / 60 + 39.90 / 3600)
+    unix = (2462088.69 - 2440587.5) * 86400.0 - 69.184   # TT -> UTC
+    ra_a, dec_a = ephem.apparent_radec(ra0, dec0, unix)
+    exp_ra = math.radians((2 + 46 / 60 + 14.390 / 3600) * 15)
+    exp_dec = math.radians(49 + 21 / 60 + 7.45 / 3600)
+    assert abs(ra_a - exp_ra) / ARCSEC < 0.1
+    assert abs(dec_a - exp_dec) / ARCSEC < 0.1
+
+
+def test_aberration_physics():
+    """Annual aberration: |v/c| stays within kappa*(1 +/- e) and the
+    displacement direction advances ~90 deg per season."""
+    t = 1.7e9 + np.arange(4) * 86400.0 * 91.3125
+    v = ephem.aberration_velocity(t)
+    mag = np.linalg.norm(v, axis=-1) / ARCSEC
+    assert np.all(mag > 20.49552 * (1 - 0.0174))
+    assert np.all(mag < 20.49552 * (1 + 0.0174))
+    for i in range(3):
+        cosang = (v[i] @ v[i + 1]) / (np.linalg.norm(v[i])
+                                      * np.linalg.norm(v[i + 1]))
+        assert abs(math.degrees(math.acos(cosang)) - 90.0) < 4.0
+
+
+def test_equation_of_equinoxes():
+    """GAST - GMST = dpsi * cos(eps), bounded by ~1.2" and matching the
+    nutation series."""
+    t = np.array([1.6e9, 1.75e9])
+    eqeq = ephem.gast(t) - ephem.gmst(t)
+    dpsi, _ = ephem.nutation_angles(t)
+    np.testing.assert_allclose(
+        eqeq, dpsi * np.cos(ephem.mean_obliquity(t)), atol=1e-12)
+    assert np.all(np.abs(eqeq) < 1.3 * 15 * ARCSEC)
+
+
+def test_apparent_geometry_consistency():
+    """apparent=True geometry: a small rigid rotation of the mean-place
+    frame — baseline lengths preserved exactly, angles shifted by less
+    than an arcminute, and UVW consistent with the apparent (ra, dec) +
+    GAST hour-angle construction."""
+    ra, dec = 1.2, math.radians(-40.0)
+    t = 1.75e9 + np.arange(3) * 600.0
+    positions = simulate.mkat_like_positions(8) \
+        if hasattr(simulate, "mkat_like_positions") else None
+    if positions is None:
+        rng = np.random.default_rng(5)
+        site = ephem.geodetic_to_ecef(math.radians(-30.7),
+                                      math.radians(21.4), 1000.0)
+        enu = rng.uniform(-2000, 2000, (8, 3)) * np.array([1, 1, 0.01])
+        m = ephem.enu_to_ecef_matrix(math.radians(-30.7),
+                                     math.radians(21.4))
+        positions = site + enu @ m.T
+    mean = ephem.antenna_uvw(positions, ra, dec, t)
+    app = ephem.antenna_uvw(positions, ra, dec, t, apparent=True)
+    # rigid rotation: norms match to machine precision
+    np.testing.assert_allclose(
+        np.linalg.norm(mean, axis=-1), np.linalg.norm(app, axis=-1),
+        rtol=1e-12, atol=1e-9)
+    # frame rotation is bounded by accumulated precession (~50.3"/yr
+    # since J2000, ~0.006 rad in the mid-2020s) plus nutation/aberration
+    bl = mean[1] - mean[0]
+    bl_app = app[1] - app[0]
+    ang = np.linalg.norm(bl - bl_app, axis=-1) / np.linalg.norm(bl, axis=-1)
+    years = (1.75e9 / 86400.0 - (2451545.0 - 2440587.5)) / 365.25
+    assert np.all(ang < 2 * years * 50.3 * ARCSEC)
+    assert np.all(ang > 0.1 * years * 50.3 * ARCSEC)
+    pa_mean = ephem.parallactic_angle(math.radians(-30.7),
+                                      math.radians(21.4), ra, dec, t)
+    pa_app = ephem.parallactic_angle(math.radians(-30.7),
+                                     math.radians(21.4), ra, dec, t,
+                                     apparent=True)
+    assert np.all(np.abs(pa_app - pa_mean) < 0.02)

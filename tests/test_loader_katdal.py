@@ -97,7 +97,8 @@ class FakeDataset:
             tgt = sky_model.KatpointTarget(target)
             positions = np.stack([a.position_ecef for a in self.ants])
             ant_uvw = ephem.antenna_uvw(positions, tgt.ra, tgt.dec,
-                                        self.timestamps)  # (A, T, 3)
+                                        self.timestamps,
+                                        apparent=True)  # (A, T, 3)
             name_to_idx = {a.name: i for i, a in enumerate(self.ants)}
             lmn1 = []
             flux = []

@@ -358,8 +358,10 @@ class TestFeedFrame:
         assert fa1.shape == (12,) and fa2.shape == (12,)
         # cross-check one sample: first row is baseline (0, 1) at t0
         lat, lon, _ = ephem.ecef_to_geodetic(ANT_POS)
-        pa0 = ephem.parallactic_angle(lat[0], lon[0], 0.5, -0.6, T0_UNIX)
-        pa1 = ephem.parallactic_angle(lat[1], lon[1], 0.5, -0.6, T0_UNIX)
+        pa0 = ephem.parallactic_angle(lat[0], lon[0], 0.5, -0.6, T0_UNIX,
+                                      apparent=True)
+        pa1 = ephem.parallactic_angle(lat[1], lon[1], 0.5, -0.6, T0_UNIX,
+                                      apparent=True)
         assert fa1[0] == pytest.approx(pa0 - np.pi / 2, abs=1e-6)
         assert fa2[0] == pytest.approx(pa1 - np.pi / 2, abs=1e-6)
         # angles differ between the two dump times (8 s of earth rotation
@@ -411,7 +413,7 @@ def _run_fake_ms_e2e(monkeypatch, tmp_path, loader_options,
         # rotated-Mueller machinery.
         lat, lon, _ = ephem.ecef_to_geodetic(ANT_POS)
         pa = np.array([ephem.parallactic_angle(lat[a], lon[a], 0.5, -0.6,
-                                               T0_UNIX)
+                                               T0_UNIX, apparent=True)
                        for a in range(4)])
         tables["FEED"]._cols["RECEPTOR_ANGLE"] = np.repeat(
             -pa[:, None], 2, axis=1)
