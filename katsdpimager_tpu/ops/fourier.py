@@ -20,8 +20,14 @@ elementwise math.  The measurement equation convention is
 deliberate: the taper transform is convolved in on both paths, reference
 image.py:39-43) and applies the conjugate W phase.
 
-All elementwise factors are fused by XLA into the FFT's neighbourhood; the
-fftshifts are XLA rolls.
+All elementwise factors are fused by XLA into the FFT's neighbourhood.
+The fftshifts are eliminated algebraically: for even N a half-period
+shift on either side of a DFT is a Nyquist modulation, so both the input
+ifftshift and the output fftshift fold into (-1)^(x+y) checkerboards that
+fuse into the elementwise chains (zero memory passes) — see
+``_checkerboard``.  On TPU-class backends the transform itself routes to
+the MXU four-step FFT (:mod:`.fft`); the XLA FFT custom call remains the
+CPU path (KTPU_FFT=mxu|xla overrides).
 """
 
 from __future__ import annotations
@@ -31,10 +37,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import fft as mfft
+
 
 def _lm_grids(pixels: int, pixel_size, dtype):
-    """Return (n - 1) and n over the *unshifted* (corner-centred) layer
-    layout, plus the centred taper-normalisation layout handled separately.
+    """n = sqrt(1 - l^2 - m^2) over the *centred* image layout.
 
     lm(x) = lm_scale * x + lm_bias with lm_scale = pixel_size and
     lm_bias = -pixels/2 * pixel_size (reference imaging.py:90-91).
@@ -42,28 +49,60 @@ def _lm_grids(pixels: int, pixel_size, dtype):
     pixel_size = jnp.asarray(pixel_size, dtype)
     lm = (jnp.arange(pixels, dtype=dtype) * pixel_size
           - 0.5 * pixels * pixel_size)
-    lm = jnp.fft.ifftshift(lm)
     lm2 = lm * lm
     n = jnp.sqrt(1.0 - (lm2[:, None] + lm2[None, :]))
     return n
 
 
+def _checkerboard(pixels: int, dtype):
+    """(-1)^(x+y) over an (N, N) array (N even).
+
+    A half-period circular shift on either side of a DFT equals a Nyquist
+    modulation on the other, so ifftshift-before plus fftshift-after an
+    (i)fft2 reduce to this checkerboard applied to input and output —
+    both fuse into adjacent elementwise chains, eliminating the two
+    multi-MB roll passes the explicit shifts cost.
+    """
+    s = jnp.where(jnp.arange(pixels) % 2 == 0,
+                  jnp.asarray(1, dtype), jnp.asarray(-1, dtype))
+    return s[:, None] * s[None, :]
+
+
+def _ifft2(x):
+    if mfft.use_mxu_fft():
+        return mfft.ifft2(x)
+    return jnp.fft.ifft2(x, axes=(-2, -1))
+
+
+def _fft2(x):
+    if mfft.use_mxu_fft():
+        return mfft.fft2(x)
+    return jnp.fft.fft2(x, axes=(-2, -1))
+
+
 def grid_to_image_impl(grid, image, kernel1d, w, pixel_size, *, pixels: int):
     """IFFT the grid and accumulate the W-corrected layer into ``image``.
 
-    grid: (P, N, N) complex; image: (P, N, N) real (donated, accumulated);
-    kernel1d: (N,) taper samples; w: scalar mid-w of the slice in wavelengths.
+    grid: (P, N, N) complex, centred; image: (P, N, N) real (donated,
+    accumulated); kernel1d: (N,) taper samples; w: scalar mid-w of the
+    slice in wavelengths.  Shift-free formulation: with
+    M = ifft2(grid * cb) and cb the checkerboard,
+    out = image + M.re * A + M.im * B where
+    A = cb * cos(phase) * n * N^2 / taper2 and B = -cb * sin(phase) ...
+    — algebraically identical to
+    fftshift(elementwise(ifft2(ifftshift(grid)))) for even N.
     """
     rdtype = image.dtype
-    layer = jnp.fft.ifft2(jnp.fft.ifftshift(grid, axes=(-2, -1)), axes=(-2, -1))
+    cb = _checkerboard(pixels, rdtype)
+    layer = _ifft2(grid * cb)
     scale = pixels * pixels  # match unnormalized cuFFT inverse
     n = _lm_grids(pixels, pixel_size, rdtype)
     phase = (2 * jnp.pi) * w * (n - 1.0)
-    rotated = layer.real * jnp.cos(phase) - layer.imag * jnp.sin(phase)
-    contrib = rotated * (n * scale)
-    contrib = jnp.fft.fftshift(contrib, axes=(-2, -1))
     taper2 = jnp.outer(kernel1d, kernel1d).astype(rdtype)
-    return image + (contrib / taper2).astype(rdtype)
+    common = cb * (n * scale) / taper2
+    a = jnp.cos(phase) * common
+    b = -jnp.sin(phase) * common
+    return image + (layer.real * a + layer.imag * b).astype(rdtype)
 
 
 #: Jitted single-channel entry point (image buffer donated).
@@ -74,17 +113,17 @@ grid_to_image = partial(jax.jit, static_argnames=("pixels",),
 def image_to_grid_impl(image, kernel1d, w, pixel_size, *, pixels: int):
     """Forward transform of ``grid_to_image`` (for degridding prediction).
 
-    Returns the (P, N, N) complex grid with centre at the middle.
+    Returns the (P, N, N) complex grid with centre at the middle.  Same
+    shift-free checkerboard formulation as :func:`grid_to_image_impl`.
     """
     rdtype = image.dtype
+    cb = _checkerboard(pixels, rdtype)
     n = _lm_grids(pixels, pixel_size, rdtype)
     taper2 = jnp.outer(kernel1d, kernel1d).astype(rdtype)
-    taper2 = jnp.fft.ifftshift(taper2, axes=(-2, -1))
-    layer_shifted = jnp.fft.ifftshift(image, axes=(-2, -1)) / (taper2 * n)
     phase = (-2 * jnp.pi) * w * (n - 1.0)
-    layer = layer_shifted * (jnp.cos(phase) + 1j * jnp.sin(phase))
-    grid = jnp.fft.fft2(layer, axes=(-2, -1))
-    return jnp.fft.fftshift(grid, axes=(-2, -1))
+    pre = cb / (taper2 * n)
+    layer = (image * pre) * (jnp.cos(phase) + 1j * jnp.sin(phase))
+    return _fft2(layer) * _checkerboard(pixels, jnp.real(layer).dtype)
 
 
 #: Jitted single-channel entry point.

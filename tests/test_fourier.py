@@ -5,6 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from katsdpimager_tpu.ops import fourier
+from katsdpimager_tpu.ops import fft as fft_ops
 
 
 def setup_case(rng, pixels=64, pols=2, pixel_size=1e-3):
@@ -87,3 +88,54 @@ class TestElementwise:
         assert out[0, 0, 1] == 2.0
         assert np.isnan(out[0, 1, 0])
         assert out[0, 1, 1] == 5.0
+
+
+class TestMxuFFT:
+    """Four-step MXU FFT (ops/fft.py) vs the XLA FFT / f64 numpy oracle."""
+
+    def test_fft2_matches_numpy_f64(self):
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=(2, 256, 256))
+             + 1j * rng.normal(size=(2, 256, 256))).astype(np.complex64)
+        want = np.fft.fft2(x.astype(np.complex128))
+        got = np.asarray(fft_ops.fft2(jnp.asarray(x)))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+        want_i = np.fft.ifft2(x.astype(np.complex128))
+        got_i = np.asarray(fft_ops.ifft2(jnp.asarray(x)))
+        assert np.abs(got_i - want_i).max() / np.abs(want_i).max() < 1e-5
+
+    def test_grid_to_image_same_under_both_ffts(self, monkeypatch):
+        """The shift-free checkerboard path must produce the same dirty
+        image whether the transform is the XLA custom call or the MXU
+        four-step matmul FFT."""
+        rng = np.random.default_rng(3)
+        pixels = 256
+        grid = (rng.normal(size=(1, pixels, pixels))
+                + 1j * rng.normal(size=(1, pixels, pixels))).astype(
+                    np.complex64)
+        kernel1d = (0.5 + rng.random(pixels)).astype(np.float32)
+        args = (jnp.asarray(grid), jnp.zeros((1, pixels, pixels),
+                                             jnp.float32),
+                jnp.asarray(kernel1d), jnp.asarray(0.8, jnp.float32),
+                jnp.asarray(1e-4, jnp.float32))
+        monkeypatch.setenv("KTPU_FFT", "xla")
+        ref = np.asarray(fourier.grid_to_image_impl(*args, pixels=pixels))
+        monkeypatch.setenv("KTPU_FFT", "mxu")
+        got = np.asarray(fourier.grid_to_image_impl(*args, pixels=pixels))
+        peak = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-6 * peak)
+
+    def test_image_to_grid_same_under_both_ffts(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        pixels = 256
+        img = rng.normal(size=(1, pixels, pixels)).astype(np.float32)
+        kernel1d = (0.5 + rng.random(pixels)).astype(np.float32)
+        args = (jnp.asarray(img), jnp.asarray(kernel1d),
+                jnp.asarray(-0.4, jnp.float32),
+                jnp.asarray(1e-4, jnp.float32))
+        monkeypatch.setenv("KTPU_FFT", "xla")
+        ref = np.asarray(fourier.image_to_grid_impl(*args, pixels=pixels))
+        monkeypatch.setenv("KTPU_FFT", "mxu")
+        got = np.asarray(fourier.image_to_grid_impl(*args, pixels=pixels))
+        peak = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-6 * peak)
