@@ -239,15 +239,15 @@ def run_cube(args, dataset, writer) -> None:
     w_slices = max(p.grid_p.w_slices for p in all_params)
     w_planes = max(p.grid_p.w_planes for p in all_params)
 
+    # Waves to run (resume: drop fully-written waves up front so the
+    # prefetch pipeline below never preprocesses a skipped wave).
+    waves = []
     for wave_start in range(0, len(channels), wave_size):
         wave_channels = channels[wave_start:wave_start + wave_size]
         if all(writer.channel_already_done(dataset, ch)
                for ch in wave_channels):
             logger.info("Skipping wave %s: already done", wave_channels)
             continue
-        # Pad the last wave by repeating the final channel.
-        padded = wave_channels + [wave_channels[-1]] * (
-            wave_size - len(wave_channels))
         start = wave_channels[0]
         stop = wave_channels[-1] + 1
         image_ps = [all_params[ch - channels[0]].image_p
@@ -255,10 +255,35 @@ def run_cube(args, dataset, writer) -> None:
         grid_ps = [parameters.GridParameters(fixed_grid_p, w_slices,
                                              w_planes)
                    for _ in range(start, stop)]
+        waves.append((wave_channels, start, stop, image_ps, grid_ps))
 
+    def _preprocess_wave(wave):
+        _chs, start, stop, image_ps, grid_ps = wave
         collector = frontend.preprocess_visibilities(
             dataset, args, start, stop, image_ps, grid_ps, mueller)
-        reader = collector.reader()
+        return collector.reader()
+
+    # Host/device pipelining (reference frontend.py:53-77's load/preprocess
+    # overlap, lifted to wave granularity): while the device executes wave
+    # N, a single worker thread loads + compresses wave N+1.  The host
+    # data plane and the device waves then run concurrently, so cube
+    # throughput is max(host, device) per wave instead of their sum.
+    import concurrent.futures
+
+    prefetch = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    next_reader = prefetch.submit(_preprocess_wave, waves[0]) if waves \
+        else None
+
+    for wave_idx, wave in enumerate(waves):
+        wave_channels, start, stop, image_ps, grid_ps = wave
+        # Pad the last wave by repeating the final channel.
+        padded = wave_channels + [wave_channels[-1]] * (
+            wave_size - len(wave_channels))
+
+        reader = next_reader.result()
+        if wave_idx + 1 < len(waves):
+            next_reader = prefetch.submit(_preprocess_wave,
+                                          waves[wave_idx + 1])
 
         if cfg is None:
             template = dict(
@@ -409,3 +434,4 @@ def run_cube(args, dataset, writer) -> None:
                 image_parameters=image_p, grid_parameters=grid_ps[rel],
                 clean_parameters=clean_p, restoring_beam=fitted_beams[i])
         reader.close()
+    prefetch.shutdown(wait=True)
