@@ -101,6 +101,12 @@ def get_parser() -> argparse.ArgumentParser:
                            help=f"Write {name} to FITS file")
     group.add_argument("--write-profile", metavar="FILE",
                        help="Write a flamegraph-format profile")
+    group.add_argument("--write-device-profile", metavar="FILE",
+                       help="Capture an XProf device trace for the run and "
+                            "write per-op device times (flamegraph format); "
+                            "the raw trace is kept in FILE.trace/ for "
+                            "TensorBoard/XProf (reference "
+                            "scripts/imager.py:89-92)")
     parser.add_argument("--host", action="store_true",
                         help="Run on the host CPU instead of the accelerator "
                              "(parity with the reference's --host mode)")
@@ -151,7 +157,20 @@ def main(argv=None) -> int:
         parser.error(f"cannot open {args.input_file}: {exc}")
     try:
         writer = FileWriter(args)
-        frontend.run(args, dataset, writer)
+        if args.write_device_profile:
+            from . import profiling
+
+            trace_dir = args.write_device_profile + ".trace"
+            with profiling.device_trace(trace_dir):
+                frontend.run(args, dataset, writer)
+            totals = profiling.parse_device_profile(trace_dir)
+            with open(args.write_device_profile, "w") as f:
+                profiling.write_device_profile(totals, f)
+            logger.info("Wrote device profile (%d ops) to %s; raw trace "
+                        "in %s", len(totals), args.write_device_profile,
+                        trace_dir)
+        else:
+            frontend.run(args, dataset, writer)
     except ValueError as exc:
         parser.error(str(exc))
     finally:

@@ -120,3 +120,65 @@ def device_trace(log_dir: str):
     """Start a JAX profiler trace (view with TensorBoard/XProf); the
     TPU-native replacement for the reference's NVTX/nsight ranges."""
     return jax.profiler.trace(log_dir)
+
+
+def parse_device_profile(log_dir: str) -> Dict[Tuple[str, str], float]:
+    """Aggregate per-op device time from a captured XProf trace.
+
+    Reads the ``.xplane.pb`` files under ``log_dir`` (written by
+    :func:`device_trace` / ``jax.profiler.trace``) and returns
+    {(line_name, op_name): total_seconds} for every event on a device
+    plane.  This is the TPU-native analogue of the reference's
+    device-event records (``profiling.py:133-149``): XLA op names carry
+    the ``jax.named_scope`` prefixes that :func:`profile` installs, so
+    the aggregation groups naturally by pipeline stage.
+
+    Falls back to host-side XLA executor lines when no accelerator plane
+    exists (CPU test runs).
+    """
+    import glob
+    import os
+
+    from jax.profiler import ProfileData
+
+    totals: Dict[Tuple[str, str], float] = {}
+    files = sorted(glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                             recursive=True))
+    for path in files:
+        pd = ProfileData.from_file(path)
+        planes = list(pd.planes)
+        device_planes = [p for p in planes
+                         if "TPU" in p.name or "GPU" in p.name
+                         or "/device:" in p.name]
+        if not device_planes:
+            # CPU fallback: PjRt client execution lines carry op timings
+            device_planes = [p for p in planes if p.name == "/host:CPU"]
+            line_filter = lambda name: ("PjRt" in name     # noqa: E731
+                                        or "xla" in name.lower())
+        else:
+            line_filter = lambda name: True                # noqa: E731
+        for plane in device_planes:
+            for line in plane.lines:
+                if not line_filter(line.name):
+                    continue
+                for ev in line.events:
+                    dur = ev.duration_ns
+                    if not dur:
+                        continue
+                    name = ev.name
+                    if name.startswith(("ThreadpoolListener", "end:")):
+                        continue
+                    key = (line.name, name)
+                    totals[key] = totals.get(key, 0.0) + dur * 1e-9
+    return totals
+
+
+def write_device_profile(totals: Dict[Tuple[str, str], float], f) -> None:
+    """Write aggregated device times in flamegraph.pl format
+    (``line;op microseconds``), largest first — the analogue of the
+    reference's ``--write-device-profile`` output
+    (``scripts/imager.py:89-92``)."""
+    for (line, op), secs in sorted(totals.items(), key=lambda kv: -kv[1]):
+        us = int(secs * 1e6)
+        if us > 0:
+            f.write(f"{line};{op} {us}\n")

@@ -294,3 +294,26 @@ class TestFitsDiffWcs:
         assert finite.sum() > 3000
         np.testing.assert_allclose(same[finite],
                                    a.data[0][finite], atol=1e-5)
+
+
+def test_device_profile_capture(tmp_path):
+    """device_trace -> parse_device_profile -> write_device_profile round
+    trip (the --write-device-profile path; on TPU the planes carry XLA op
+    names with named_scope prefixes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from katsdpimager_tpu import profiling
+
+    d = str(tmp_path / "trace")
+    with profiling.device_trace(d):
+        x = jnp.ones((256, 256))
+        with jax.named_scope("stage_x"):
+            (x @ x).block_until_ready()
+    totals = profiling.parse_device_profile(d)
+    assert totals, "no device events parsed from the trace"
+    out = tmp_path / "prof.txt"
+    with open(out, "w") as f:
+        profiling.write_device_profile(totals, f)
+    lines = out.read_text().strip().splitlines()
+    assert lines and all(" " in ln for ln in lines)
