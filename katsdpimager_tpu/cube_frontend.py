@@ -257,11 +257,14 @@ def run_cube(args, dataset, writer) -> None:
                    for _ in range(start, stop)]
         waves.append((wave_channels, start, stop, image_ps, grid_ps))
 
+    import time as _time
+
     def _preprocess_wave(wave):
         _chs, start, stop, image_ps, grid_ps = wave
+        t0 = _time.monotonic()
         collector = frontend.preprocess_visibilities(
             dataset, args, start, stop, image_ps, grid_ps, mueller)
-        return collector.reader()
+        return collector.reader(), _time.monotonic() - t0
 
     # Host/device pipelining (reference frontend.py:53-77's load/preprocess
     # overlap, lifted to wave granularity): while the device executes wave
@@ -280,10 +283,13 @@ def run_cube(args, dataset, writer) -> None:
         padded = wave_channels + [wave_channels[-1]] * (
             wave_size - len(wave_channels))
 
-        reader = next_reader.result()
+        t_block0 = _time.monotonic()
+        reader, t_host = next_reader.result()
+        t_blocked = _time.monotonic() - t_block0
         if wave_idx + 1 < len(waves):
             next_reader = prefetch.submit(_preprocess_wave,
                                           waves[wave_idx + 1])
+        t_wave0 = _time.monotonic()
 
         if cfg is None:
             template = dict(
@@ -434,4 +440,13 @@ def run_cube(args, dataset, writer) -> None:
                 image_parameters=image_p, grid_parameters=grid_ps[rel],
                 clean_parameters=clean_p, restoring_beam=fitted_beams[i])
         reader.close()
+        # End-to-end accounting (VERDICT r2 item 2): host preprocess time
+        # vs how long the pipeline actually WAITED for it (overlap hides
+        # the difference), plus device+write time for this wave.
+        t_rest = _time.monotonic() - t_wave0
+        logger.info(
+            "Wave %s timing: host preprocess %.1fs (pipeline blocked "
+            "%.1fs), pack+device+write %.1fs -> %.2f s/channel",
+            wave_channels, t_host, t_blocked, t_rest,
+            (t_blocked + t_rest) / len(wave_channels))
     prefetch.shutdown(wait=True)
