@@ -41,6 +41,20 @@ def preprocess_visibilities(dataset, args, start_channel, stop_channel,
     """Stream the dataset through the collector, overlapping load with
     preprocess via a single worker thread (reference frontend.py:30-81)."""
     mueller_stokes, mueller_circular = polarization_matrices
+    engine = getattr(args, "preprocess", "auto")
+    if engine == "auto":
+        try:
+            from . import native
+
+            if not native.available():
+                raise RuntimeError("native core unavailable")
+            import jax as _jax
+
+            engine = ("native"
+                      if _jax.devices()[0].platform not in ("cpu",)
+                      else "jax")
+        except Exception:
+            engine = "jax"
     if args.tmp_file:
         import tempfile, os, atexit
 
@@ -49,10 +63,10 @@ def preprocess_visibilities(dataset, args, start_channel, stop_channel,
         atexit.register(lambda: os.path.exists(filename) and os.remove(filename))
         collector = preprocess.VisibilityCollectorHDF5(
             filename, image_ps, grid_ps, args.vis_block,
-            max_cache_size=args.max_cache_size)
+            max_cache_size=args.max_cache_size, engine=engine)
     else:
         collector = preprocess.VisibilityCollectorMem(
-            image_ps, grid_ps, args.vis_block)
+            image_ps, grid_ps, args.vis_block, engine=engine)
 
     bar = None
     add_future = None
@@ -294,6 +308,13 @@ def add_options(parser):
                        help="Keep preprocessed visibilities in memory")
     group.add_argument("--max-cache-size", type=int, default=None,
                        help="Limit HDF5 chunk-cache bytes for preprocessing")
+    group.add_argument("--preprocess", choices=["auto", "jax", "native"],
+                       default="auto",
+                       help="Preprocessing compute engine: the C++/OpenMP "
+                            "host core or the jitted JAX path; auto picks "
+                            "native when an accelerator backend is active "
+                            "so the device stays free for imaging "
+                            "[%(default)s]")
     group.add_argument("--minor-batch", type=int, default=256,
                        help="Minor cycles per device batch [%(default)s]")
 

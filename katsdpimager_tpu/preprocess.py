@@ -261,7 +261,9 @@ class VisibilityCollector:
     """
 
     def __init__(self, image_parameters: Sequence, grid_parameters: Sequence,
-                 buffer_size: int = 1 << 20):
+                 buffer_size: int = 1 << 20, engine: str = "jax"):
+        if engine not in ("jax", "native"):
+            raise ValueError(f"Unknown preprocess engine {engine!r}")
         if len(image_parameters) != len(grid_parameters):
             raise ValueError("Inconsistent image/grid parameter lengths")
         self.image_parameters = list(image_parameters)
@@ -279,6 +281,7 @@ class VisibilityCollector:
             [[] for _ in range(gp.w_slices)] for gp in self.grid_parameters
         ]
         self._closed = False
+        self.engine = engine
 
     @property
     def num_channels(self):
@@ -293,6 +296,10 @@ class VisibilityCollector:
         applied via the circular frame (``mueller_stokes`` maps circular ->
         output Stokes); otherwise ``mueller_stokes`` maps inputs directly.
         """
+        if self.engine == "native":
+            return self._add_native(uvw, weights, vis, feed_angle1,
+                                    feed_angle2, mueller_stokes,
+                                    mueller_circular)
         uvw = np.asarray(uvw, np.float32)
         N = uvw.shape[0]
         if mueller_circular is not None:
@@ -311,6 +318,29 @@ class VisibilityCollector:
             out_vis = xfer.fetch_complex(out.pop("vis"))
             out = jax.device_get(out)
             out["vis"] = out_vis
+            self._store(channel, out)
+            self.num_input += N
+            self.num_output += int(out["count"])
+
+    def _add_native(self, uvw, weights, vis, feed_angle1, feed_angle2,
+                    mueller_stokes, mueller_circular):
+        """Host-side compute path: the C++/OpenMP core (all cores; the
+        role preprocess.cpp plays in the reference).  Keeps the
+        accelerator free for imaging waves — the cube pipeline's default
+        when a non-CPU backend is active."""
+        from . import native
+
+        uvw = np.ascontiguousarray(uvw, np.float32)
+        N = uvw.shape[0]
+        if mueller_circular is not None:
+            mueller = rotated_mueller_np(mueller_stokes, mueller_circular,
+                                         feed_angle1, feed_angle2)
+        else:
+            mueller = np.asarray(mueller_stokes)
+        for channel in range(self.num_channels):
+            out = native.preprocess_channel(
+                uvw, np.asarray(weights[channel]), np.asarray(vis[channel]),
+                mueller, self.geometries[channel])
             self._store(channel, out)
             self.num_input += N
             self.num_output += int(out["count"])
@@ -419,29 +449,12 @@ class VisibilityCollectorMem(VisibilityCollector):
 
 
 class VisibilityCollectorNative(VisibilityCollector):
-    """Collector backed by the C++/OpenMP core (:mod:`.native`) instead of
-    the on-device JAX transform — for CPU-bound ingest pipelines where the
-    accelerator should not spend cycles on preprocessing (the role
-    preprocess.cpp plays in the reference)."""
+    """Collector computing on the C++/OpenMP core (``engine="native"``
+    alias, kept for API parity)."""
 
-    def add(self, uvw, weights, vis, feed_angle1=None, feed_angle2=None,
-            mueller_stokes=None, mueller_circular=None):
-        from . import native
-
-        uvw = np.ascontiguousarray(uvw, np.float32)
-        N = uvw.shape[0]
-        if mueller_circular is not None:
-            mueller = rotated_mueller_np(mueller_stokes, mueller_circular,
-                                         feed_angle1, feed_angle2)
-        else:
-            mueller = np.asarray(mueller_stokes)
-        for channel in range(self.num_channels):
-            out = native.preprocess_channel(
-                uvw, np.asarray(weights[channel]), np.asarray(vis[channel]),
-                mueller, self.geometries[channel])
-            self._store(channel, out)
-            self.num_input += N
-            self.num_output += int(out["count"])
+    def __init__(self, *args, **kwargs):
+        kwargs["engine"] = "native"
+        super().__init__(*args, **kwargs)
 
 
 class VisibilityCollectorHDF5(VisibilityCollector):
@@ -450,8 +463,10 @@ class VisibilityCollectorHDF5(VisibilityCollector):
     ``preprocess.py:169-265``)."""
 
     def __init__(self, filename, image_parameters, grid_parameters,
-                 buffer_size: int = 1 << 20, max_cache_size=None):
-        super().__init__(image_parameters, grid_parameters, buffer_size)
+                 buffer_size: int = 1 << 20, max_cache_size=None,
+                 engine: str = "jax"):
+        super().__init__(image_parameters, grid_parameters, buffer_size,
+                         engine=engine)
         import h5py
 
         # Writes round-robin across (channel, w_slice) streams, so size the

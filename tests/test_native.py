@@ -90,3 +90,28 @@ def test_native_merging():
     c = preprocess.VisibilityCollectorNative([ip], [gp])
     c.add(uvw, weights, vis, mueller_stokes=mueller)
     assert c.num_output == 2
+
+
+def test_engine_param_hdf5_spill(tmp_path):
+    """engine="native" composes with HDF5 spill storage (the cube
+    pipeline's auto configuration on an accelerator backend)."""
+    ip, gp = make_params()
+    rng = np.random.default_rng(11)
+    uvw, weights, vis = random_inputs(rng, n=800, Q=1)
+    mueller = polarization.polarization_matrix(
+        [polarization.STOKES_I], [polarization.STOKES_I])
+    cj = preprocess.VisibilityCollectorMem([ip], [gp], engine="jax")
+    cj.add(uvw, weights, vis, mueller_stokes=mueller)
+    cj.close()
+    cn = preprocess.VisibilityCollectorHDF5(
+        str(tmp_path / "spill.h5"), [ip], [gp], engine="native")
+    cn.add(uvw, weights, vis, mueller_stokes=mueller)
+    cn.close()
+    assert cn.num_output == cj.num_output
+    for s in range(gp.w_slices):
+        a = cj.reader().slice_arrays(0, s)
+        b = cn.reader().slice_arrays(0, s)
+        assert len(a) == len(b)
+        if len(a):
+            np.testing.assert_array_equal(a.uv, b.uv)
+            np.testing.assert_allclose(a.vis, b.vis, rtol=1e-4, atol=1e-5)
