@@ -270,16 +270,26 @@ class Imaging:
 
     def model_to_predict(self):
         """Extract CLEAN components from the model image for direct
-        prediction (host round trip, as in the reference)."""
+        prediction (host round trip, as in the reference).
+
+        CLEAN components sit on image pixels, so the exact trig-free
+        predict path applies (``predict_subtract_exact``): integer pixel
+        indices are kept alongside lmn.  Zero-flux padding rows are
+        inert in both paths."""
         model = np.asarray(self.model)
-        lmn, flux = predict.extract_sky_image(self.image_p, self.grid_p, model)
+        lmn, flux, xi, yi = predict.extract_sky_image(
+            self.image_p, self.grid_p, model, return_pixels=True)
         if len(lmn):
             # pad to limit recompiles
             s = _round_block(len(lmn), 256)
             lmn = _pad_to(lmn, s)
             flux = _pad_to(flux, s)
+            xi = _pad_to(xi, s)
+            yi = _pad_to(yi, s)
         self._model_lmn = jnp.asarray(lmn)
         self._model_flux = jnp.asarray(flux)
+        self._model_xi = jnp.asarray(xi)
+        self._model_yi = jnp.asarray(yi)
 
     def model_to_grid(self, w: float):
         """FFT the model image to a grid for degridding."""
@@ -293,8 +303,26 @@ class Imaging:
                                   self._sky_flux)
 
     def model_predict(self, chunk, vis, w_slice: int):
-        return self.predict_chunk(chunk, vis, w_slice, self._model_lmn,
-                                  self._model_flux)
+        if self._model_lmn.shape[0] == 0:
+            return vis
+        uv, sub_uv, w_plane = self._padded_chunk(chunk)
+        n = uv.shape[0]
+        if isinstance(vis, jnp.ndarray):
+            vis_j = xfer.device_pad_rows(vis.astype(jnp.complex64),
+                                         n - vis.shape[0])
+        else:
+            vis_j = xfer.device_complex(
+                _pad_to(np.asarray(vis).astype(np.complex64), n))
+        weights_j = jnp.asarray(
+            _pad_to(np.asarray(chunk.weights).astype(np.float32), n))
+        out = predict.predict_subtract_exact(
+            self._model_xi, self._model_yi, self._model_lmn[:, 2],
+            self._model_flux, uv, sub_uv, vis_j, weights_j, w_plane,
+            jnp.float32(self._w_scale),
+            jnp.float32(self._w_bias + self.mid_w[w_slice]),
+            pixels=self.pixels, oversample=self.grid_p.fixed.oversample,
+            w_planes=self.grid_p.w_planes)
+        return out[: len(vis)]
 
     # ------------------------------------------------------------------
     # FFT

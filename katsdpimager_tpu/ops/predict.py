@@ -36,11 +36,14 @@ def uvw_scale_bias(image_parameters, grid_parameters):
     return float(uv_scale), float(w_scale), float(w_bias)
 
 
-def extract_sky_image(image_parameters, grid_parameters, model_image: np.ndarray):
+def extract_sky_image(image_parameters, grid_parameters, model_image: np.ndarray,
+                      return_pixels: bool = False):
     """Convert non-zero model-image pixels into (lmn, flux) component lists
     (reference predict.py:73-119, without the dict indirection).
 
-    Returns (lmn (S, 3) float32 with n-1 in the last column, flux (S, P)).
+    Returns (lmn (S, 3) float32 with n-1 in the last column, flux (S, P));
+    with ``return_pixels`` also the centre-relative integer pixel indices
+    (xi, yi) that :func:`predict_subtract_exact` consumes.
     """
     ip = image_parameters
     mask = np.any(model_image != 0, axis=0)
@@ -54,6 +57,10 @@ def extract_sky_image(image_parameters, grid_parameters, model_image: np.ndarray
     taper_scale = float(ip.image_size * grid_parameters.fixed.oversample)
     taper = np.sinc(l / taper_scale) * np.sinc(m / taper_scale)
     flux = (flux * taper[:, None]).astype(model_image.dtype)
+    if return_pixels:
+        xi = (xs - ip.pixels // 2).astype(np.int32)
+        yi = (ys - ip.pixels // 2).astype(np.int32)
+        return lmn, flux, xi, yi
     return lmn, flux
 
 
@@ -96,6 +103,85 @@ def predict_subtract(lmn, flux, uv, sub_uv, w_plane, vis, weights,
         predicted = jax.lax.map(block_predict, uvw_p)
         predicted = predicted.reshape(nb * block, -1)[:N]
     return vis - weights * predicted.astype(vis.dtype)
+
+
+@partial(jax.jit,
+         static_argnames=("pixels", "oversample", "w_planes", "block"),
+         donate_argnums=(6,))
+def predict_subtract_exact(xi, yi, n1, flux, uv, sub_uv, vis, weights,
+                           w_plane, w_scale, w_bias, *, pixels: int,
+                           oversample: int, w_planes: int,
+                           block: int = 8192):
+    """Trig-free direct prediction for pixel-grid components.
+
+    Model components sit on image pixels (``xi``, ``yi`` centre-relative
+    ints from :func:`extract_sky_image`) and UV is subgrid-quantized, so
+    every UV phase is an exact multiple of ``2*pi / (2*pixels*oversample)``
+    (``cell_size = wavelength/image_size`` makes
+    ``u_wl * l = (2*uq+1)*x / (2*N*O)`` an identity): the per-visibility
+    phase factor is one of M = 2*N*O roots of unity, gathered from a
+    VMEM-resident table after exact int32 index arithmetic — no
+    per-(vis, source) transcendentals, unlike the reference's per-pair
+    ``sincospif`` (predict.mako:56-70).  The W phase takes only
+    ``w_planes`` distinct values per slice, so it folds into per-plane
+    flux columns: an MXU (B,S)@(S,W*P) matmul plus a row-wise column
+    pick.  Bit-compatible with :func:`predict_subtract` to f32 rounding.
+
+    vis (donated) and weights are (N, P); returns vis - weights*predicted.
+    """
+    M = 2 * pixels * oversample
+    ang = -2.0 * np.pi * np.arange(M) / M
+    tab_re = jnp.asarray(np.cos(ang).astype(np.float32))
+    tab_im = jnp.asarray(np.sin(ang).astype(np.float32))
+    hp = jax.lax.Precision.HIGHEST
+
+    P = vis.shape[1]
+    wvals = jnp.arange(w_planes, dtype=jnp.float32) * w_scale + w_bias
+    wphase = (-2 * jnp.pi) * wvals[:, None] * n1.astype(jnp.float32)[None, :]
+    fluxf = flux.astype(jnp.float32)                       # (S, P)
+    # (S, W*P) per-plane flux columns, rotated by the w phase
+    fw_re = (jnp.cos(wphase)[:, :, None] * fluxf[None]).transpose(1, 0, 2)
+    fw_im = (jnp.sin(wphase)[:, :, None] * fluxf[None]).transpose(1, 0, 2)
+    fw_re = fw_re.reshape(-1, w_planes * P)
+    fw_im = fw_im.reshape(-1, w_planes * P)
+
+    au = (2 * (uv[:, 0].astype(jnp.int32) * oversample
+               + sub_uv[:, 0].astype(jnp.int32)) + 1) % M
+    av = (2 * (uv[:, 1].astype(jnp.int32) * oversample
+               + sub_uv[:, 1].astype(jnp.int32)) + 1) % M
+    xm = xi.astype(jnp.int32) % M
+    ym = yi.astype(jnp.int32) % M
+
+    def blk(args):
+        au_b, av_b, wp_b, vis_b, wts_b = args
+        k = (au_b[:, None] * xm[None, :]
+             + av_b[:, None] * ym[None, :]) & (M - 1)
+        c = jnp.take(tab_re, k, axis=0)
+        s = jnp.take(tab_im, k, axis=0)
+        re = (jnp.matmul(c, fw_re, precision=hp)
+              - jnp.matmul(s, fw_im, precision=hp)).reshape(
+                  -1, w_planes, P)
+        im = (jnp.matmul(s, fw_re, precision=hp)
+              + jnp.matmul(c, fw_im, precision=hp)).reshape(
+                  -1, w_planes, P)
+        idx = wp_b.astype(jnp.int32)[:, None, None]
+        pre = (jnp.take_along_axis(re, idx, axis=1)
+               + 1j * jnp.take_along_axis(im, idx, axis=1))[:, 0]
+        return vis_b - wts_b * pre.astype(vis_b.dtype)
+
+    N = vis.shape[0]
+    if N <= block:
+        return blk((au, av, w_plane, vis, weights))
+    nb = -(-N // block)
+    pad = nb * block - N
+
+    def padv(a, fill=0):
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths).reshape((nb, block) + a.shape[1:])
+
+    out = jax.lax.map(blk, (padv(au), padv(av), padv(w_plane), padv(vis),
+                            padv(weights)))
+    return out.reshape(nb * block, P)[:N]
 
 
 def predict_subtract_reference(lmn, flux, uv, sub_uv, w_plane, vis, weights,

@@ -119,3 +119,88 @@ class TestBeam:
         fit = beam_mod.fit_beam(out[0])
         assert fit.major == pytest.approx(8.0, rel=0.01)
         assert fit.minor == pytest.approx(5.0, rel=0.01)
+
+
+class TestPredictExact:
+    def test_matches_trig_path_and_oracle(self):
+        """predict_subtract_exact (trig-free roots-of-unity table) vs the
+        trig path and the f64 oracle, for pixel-grid components."""
+        ip, gp = make_params()
+        rng = np.random.default_rng(5)
+        n, s, pols = 300, 12, 2
+        pixels, oversample = ip.pixels, gp.fixed.oversample
+
+        model = np.zeros((pols, pixels, pixels), np.float32)
+        ys = rng.integers(pixels // 4, 3 * pixels // 4, s)
+        xs = rng.integers(pixels // 4, 3 * pixels // 4, s)
+        model[:, ys, xs] = rng.uniform(0.2, 1.0, (pols, s)).astype(np.float32)
+
+        lmn, flux, xi, yi = predict.extract_sky_image(ip, gp, model,
+                                                      return_pixels=True)
+        uv = rng.integers(-300, 300, size=(n, 2)).astype(np.int16)
+        sub_uv = rng.integers(0, oversample, size=(n, 2)).astype(np.int16)
+        w_plane = rng.integers(0, gp.w_planes, size=n).astype(np.int16)
+        vis = (rng.normal(size=(n, pols))
+               + 1j * rng.normal(size=(n, pols))).astype(np.complex64)
+        weights = rng.uniform(0.5, 2.0, size=(n, pols)).astype(np.float32)
+        uv_scale, w_scale, w_bias = predict.uvw_scale_bias(ip, gp)
+
+        # f64 oracle built from the INTEGER pixel coordinates (the f32
+        # lmn from extract_sky_image carries ~1e-7 rounding that the
+        # exact path does not have)
+        l64 = xi.astype(np.float64) * float(ip.pixel_size)
+        m64 = yi.astype(np.float64) * float(ip.pixel_size)
+        lmn64 = np.stack(
+            [l64, m64, np.sqrt(1 - l64 * l64 - m64 * m64) - 1], -1)
+        want = predict.predict_subtract_reference(
+            lmn64, flux, uv, sub_uv, w_plane,
+            vis.astype(np.complex128), weights, uv_scale, w_scale, w_bias,
+            oversample)
+        got_trig = np.asarray(predict.predict_subtract(
+            jnp.asarray(lmn), jnp.asarray(flux), jnp.asarray(uv),
+            jnp.asarray(sub_uv), jnp.asarray(w_plane), jnp.asarray(vis),
+            jnp.asarray(weights), uv_scale, w_scale, w_bias,
+            oversample=oversample))
+        got_exact = np.asarray(predict.predict_subtract_exact(
+            jnp.asarray(xi), jnp.asarray(yi), jnp.asarray(lmn[:, 2]),
+            jnp.asarray(flux), jnp.asarray(uv), jnp.asarray(sub_uv),
+            jnp.asarray(vis), jnp.asarray(weights), jnp.asarray(w_plane),
+            w_scale, w_bias, pixels=pixels, oversample=oversample,
+            w_planes=gp.w_planes, block=128))
+        scale = np.abs(want).max()
+        # the exact path has no phase rounding at all: only the w-phase
+        # trig and the flux matmul are f32
+        assert np.abs(got_exact - want).max() / scale < 2e-6
+        # the trig path carries f32 phase rounding amplified by the
+        # phase magnitude (reference test_predict.py tolerance note)
+        assert np.abs(got_trig - want).max() / scale < 5e-5
+        assert (np.abs(got_exact - want).max()
+                <= np.abs(got_trig - want).max())
+
+    def test_blocking_invariance(self):
+        """Same result for block sizes spanning and padding the input."""
+        ip, gp = make_params()
+        rng = np.random.default_rng(6)
+        n, pols = 100, 2
+        pixels, oversample = ip.pixels, gp.fixed.oversample
+        model = np.zeros((pols, pixels, pixels), np.float32)
+        model[:, 500, 520] = 1.0
+        lmn, flux, xi, yi = predict.extract_sky_image(ip, gp, model,
+                                                      return_pixels=True)
+        uv = rng.integers(-100, 100, size=(n, 2)).astype(np.int16)
+        sub_uv = rng.integers(0, oversample, size=(n, 2)).astype(np.int16)
+        w_plane = rng.integers(0, gp.w_planes, size=n).astype(np.int16)
+        vis = (rng.normal(size=(n, pols))
+               + 1j * rng.normal(size=(n, pols))).astype(np.complex64)
+        weights = np.ones((n, pols), np.float32)
+        _, w_scale, w_bias = predict.uvw_scale_bias(ip, gp)
+        outs = []
+        for block in (32, 128, 512):
+            outs.append(np.asarray(predict.predict_subtract_exact(
+                jnp.asarray(xi), jnp.asarray(yi), jnp.asarray(lmn[:, 2]),
+                jnp.asarray(flux), jnp.asarray(uv), jnp.asarray(sub_uv),
+                jnp.asarray(vis), jnp.asarray(weights),
+                jnp.asarray(w_plane), w_scale, w_bias, pixels=pixels,
+                oversample=oversample, w_planes=gp.w_planes, block=block)))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+        np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
