@@ -107,3 +107,33 @@ class TestShardInvariance:
 
     def test_devices_available(self):
         assert jax.device_count() >= 8
+
+
+class TestMxuFFTUnderMesh:
+    def test_step_invariant_to_fft_backend(self, monkeypatch):
+        """The sharded imaging step produces the same images whether the
+        grid->image transform runs through the XLA FFT custom call or the
+        MXU four-step matmul FFT (the TPU default) — validates the
+        production FFT path under shard_map + psum before it ever touches
+        hardware.  pixels >= 256 so the four-step path actually engages
+        (smaller sizes fall back to the XLA FFT)."""
+        cfg = MultiChannelConfig(
+            pixels=256, num_pols=1, kernel_width=8, oversample=4,
+            w_planes=2, w_slices=2, chunks_per_slice=16, chunk_size=32,
+            rv=16, ru=16, minor_cycles=0, patch=17, loop_gain=0.2)
+        batch = make_example_batch(cfg, 2)
+        mesh = make_mesh(vis_shards=4)
+
+        monkeypatch.setenv("KTPU_FFT", "xla")
+        res_xla = np.asarray(make_imaging_step(mesh, cfg)(batch)[0])
+        monkeypatch.setenv("KTPU_FFT", "mxu")
+        res_mxu = np.asarray(make_imaging_step(mesh, cfg)(batch)[0])
+        scale = np.abs(res_xla).max()
+        # corners amplify FFT rounding differences by 1/taper^2 (see
+        # test_accuracy_gate); the interior must agree at f32 level
+        q = cfg.pixels // 4
+        inner_xla = res_xla[..., q:-q, q:-q]
+        inner_mxu = res_mxu[..., q:-q, q:-q]
+        np.testing.assert_allclose(inner_mxu, inner_xla,
+                                   atol=2e-6 * scale)
+        np.testing.assert_allclose(res_mxu, res_xla, atol=5e-3 * scale)
