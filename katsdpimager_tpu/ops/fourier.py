@@ -110,6 +110,30 @@ grid_to_image = partial(jax.jit, static_argnames=("pixels",),
                         donate_argnums=(1,))(grid_to_image_impl)
 
 
+def grid_to_image_batched_impl(grids, image, kernel1d, ws, pixel_size, *,
+                               pixels: int):
+    """W-stacked accumulation with ALL slices transformed in one batch.
+
+    grids: (S, P, N, N) complex, centred; ws: (S,) mid-w per slice.
+    Equivalent to scanning :func:`grid_to_image_impl` over slices, but
+    the S*P transforms run as one batched FFT (bigger MXU matmul batches,
+    one fusion neighbourhood for the corrections) — the per-W-slice
+    fixed-cost attack from VERDICT r2 item 1.  Costs S grids of HBM
+    instead of one; callers choose by slice count and grid size.
+    """
+    rdtype = image.dtype
+    cb = _checkerboard(pixels, rdtype)
+    layer = _ifft2(grids * cb)
+    scale = pixels * pixels
+    n = _lm_grids(pixels, pixel_size, rdtype)
+    phase = (2 * jnp.pi) * ws[:, None, None, None] * (n - 1.0)[None, None]
+    taper2 = jnp.outer(kernel1d, kernel1d).astype(rdtype)
+    common = (cb * (n * scale) / taper2)[None, None]
+    acc = jnp.sum(layer.real * (jnp.cos(phase) * common)
+                  + layer.imag * (-jnp.sin(phase) * common), axis=0)
+    return image + acc.astype(rdtype)
+
+
 def image_to_grid_impl(image, kernel1d, w, pixel_size, *, pixels: int):
     """Forward transform of ``grid_to_image`` (for degridding prediction).
 

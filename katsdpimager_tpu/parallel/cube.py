@@ -27,6 +27,8 @@ import dataclasses
 from functools import partial
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +36,8 @@ from jax.sharding import Mesh, PartitionSpec as P  # noqa: N817
 
 from ..ops import clean as clean_ops
 from ..ops import mxu_gridder
-from ..ops.fourier import grid_to_image_impl, image_to_grid_impl
+from ..ops.fourier import (grid_to_image_batched_impl, grid_to_image_impl,
+                           image_to_grid_impl)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,20 +124,36 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
     if cfg.weight_type == "natural":
         density = None   # density == 1: skip the per-vis window lookups
 
-    def body(dirty, xs):
-        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
+    def one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s):
         ext = mxu_gridder.dense_pad_size(N, cfg.rv)
         gpad = jnp.zeros((Pp, ext, ext), jnp.complex64)
         gpad = mxu_gridder.grid_chunks_dense_impl(
             gpad, kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
             None, nc_s,
             pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
-        grid = psum(gpad[:, :N, :N])
+        return psum(gpad[:, :N, :N])
+
+    dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
+    if os.environ.get("KTPU_BATCH_SLICES", "0") == "1":
+        # one batched FFT+correction over all W slices (see multichannel)
+        def slice_grid(_, xs):
+            uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s = xs
+            return 0, one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
+                               nc_s)
+
+        _, grids = jax.lax.scan(
+            slice_grid, 0,
+            (uv, sub_uv, w_plane, anchor, valid, vis, nc_slices))
+        return grid_to_image_batched_impl(grids, dirty0, taper1d, mid_w,
+                                          pixel_size, pixels=N)
+
+    def body(dirty, xs):
+        uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
+        grid = one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s)
         dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
                                    pixels=N)
         return dirty, None
 
-    dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
     dirty, _ = jax.lax.scan(body, dirty0,
                             (uv, sub_uv, w_plane, anchor, valid, vis, mid_w,
                              nc_slices))

@@ -23,6 +23,7 @@ array inputs, so one compilation serves every channel batch.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -33,7 +34,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import clean as clean_ops
 from ..ops import mxu_gridder
-from ..ops.fourier import grid_to_image_impl
+from ..ops.fourier import (grid_to_image_batched_impl,
+                           grid_to_image_impl)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,9 +126,10 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
         nc_slices = jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32),
                             axis=-1)                     # (S,)
 
+    batch_slices = os.environ.get("KTPU_BATCH_SLICES", "0") == "1"
+
     def image_of(vis_like):
-        def slice_body(dirty, xs):
-            uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
+        def grid_slice(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s):
             ext = mxu_gridder.dense_pad_size(N, cfg.rv)
             gpad = jnp.zeros((Pp, ext, ext), vis.dtype)
             gpad = mxu_gridder.grid_chunks_dense_impl(
@@ -134,12 +137,32 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
                 val_s, None, nc_s,
                 pixels=N, ts=cfg.rv,
                 assembly=mxu_gridder.default_assembly())
-            grid = psum(gpad[:, :N, :N])
+            return psum(gpad[:, :N, :N])
+
+        dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
+        if batch_slices:
+            # KTPU_BATCH_SLICES=1: stack per-slice grids, transform all
+            # slices in ONE batched FFT + correction pass (S extra grids
+            # of HBM; kills the per-slice fixed cost when S > 1).
+            def slice_grid(_, xs):
+                uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s = xs
+                return 0, grid_slice(uv_s, sub_s, wp_s, anc_s, val_s,
+                                     vis_s, nc_s)
+
+            _, grids = jax.lax.scan(
+                slice_grid, 0,
+                (uv, sub_uv, w_plane, anchor, valid, vis_like, nc_slices))
+            return grid_to_image_batched_impl(
+                grids, dirty0, taper1d, mid_w, pixel_size, pixels=N)
+
+        def slice_body(dirty, xs):
+            uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
+            grid = grid_slice(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
+                              nc_s)
             dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid,
                                        pixel_size, pixels=N)
             return dirty, None
 
-        dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
         dirty, _ = jax.lax.scan(
             slice_body, dirty0,
             (uv, sub_uv, w_plane, anchor, valid, vis_like, mid_w,

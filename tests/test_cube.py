@@ -317,3 +317,37 @@ class TestCubePipelineCLI:
         px2 = int(round(128 - l2[0] / pixel_size))
         py2 = int(round(128 + m2[0] / pixel_size))
         assert np.nanmax(image[py2 - 2:py2 + 3, px2 - 2:px2 + 3]) > 1.0
+
+
+def test_wave_batched_slices_matches_scan(monkeypatch, tmp_path):
+    """KTPU_BATCH_SLICES=1 in the cube wave reproduces the per-slice scan
+    (the 8k BASELINE fixed-cost restructure, validated off-chip)."""
+    import jax.numpy as jnp
+
+    from katsdpimager_tpu.parallel import cube, make_mesh
+
+    cfg = cube.CubeConfig(
+        pixels=64, num_pols=1, kernel_width=8, oversample=4, w_planes=2,
+        w_slices=3, chunks_per_slice=16, chunk_size=32, rv=16, ru=16,
+        majors=1, minor=20, patch=17, psf_core=16, loop_gain=0.2)
+    mesh = make_mesh(vis_shards=1)
+    rng = np.random.default_rng(3)
+    C = mesh.shape["chan"]
+
+    from katsdpimager_tpu.parallel.multichannel import (
+        make_example_batch, MultiChannelConfig)
+
+    mcfg = MultiChannelConfig(
+        pixels=cfg.pixels, num_pols=1, kernel_width=8, oversample=4,
+        w_planes=2, w_slices=3, chunks_per_slice=16, chunk_size=32,
+        rv=16, ru=16)
+    batch = make_example_batch(mcfg, C)
+
+    monkeypatch.setenv("KTPU_BATCH_SLICES", "0")
+    fn = cube.make_wave_image(mesh, cfg)
+    res_scan = np.asarray(fn(batch).residual)
+    monkeypatch.setenv("KTPU_BATCH_SLICES", "1")
+    fn2 = cube.make_wave_image(mesh, cfg)
+    res_batch = np.asarray(fn2(batch).residual)
+    scale = np.abs(res_scan).max()
+    np.testing.assert_allclose(res_batch, res_scan, atol=1e-5 * scale)

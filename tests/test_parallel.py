@@ -137,3 +137,20 @@ class TestMxuFFTUnderMesh:
         np.testing.assert_allclose(inner_mxu, inner_xla,
                                    atol=2e-6 * scale)
         np.testing.assert_allclose(res_mxu, res_xla, atol=5e-3 * scale)
+
+
+def test_batched_slices_matches_scan(monkeypatch):
+    """KTPU_BATCH_SLICES=1 (one batched FFT over all W slices) must
+    reproduce the per-slice scan path."""
+    cfg = MultiChannelConfig(
+        pixels=64, num_pols=1, kernel_width=8, oversample=4, w_planes=2,
+        w_slices=3, chunks_per_slice=16, chunk_size=32, rv=16, ru=16,
+        minor_cycles=0, patch=17, loop_gain=0.2)
+    batch = make_example_batch(cfg, 4)
+    mesh = make_mesh(vis_shards=2)
+    monkeypatch.setenv("KTPU_BATCH_SLICES", "0")
+    res_scan = np.asarray(make_imaging_step(mesh, cfg)(batch)[0])
+    monkeypatch.setenv("KTPU_BATCH_SLICES", "1")
+    res_batch = np.asarray(make_imaging_step(mesh, cfg)(batch)[0])
+    scale = np.abs(res_scan).max()
+    np.testing.assert_allclose(res_batch, res_scan, atol=1e-5 * scale)
