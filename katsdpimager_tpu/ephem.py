@@ -367,13 +367,12 @@ def antenna_uvw(positions_ecef, ra, dec, unix_time, ref_position=None,
     return out
 
 
-def hour_angle(lon, ra, unix_time, apparent=False):
-    """Local hour angle (radians, wrapped to [-pi, pi))."""
-    if apparent:
-        ra, _dec = apparent_radec(ra, 0.0, unix_time)
-        ha = gast(unix_time) + lon - ra
-    else:
-        ha = gmst(unix_time) + lon - ra
+def hour_angle(lon, ra, unix_time):
+    """Local hour angle of a catalogue (mean-place) RA (radians, wrapped
+    to [-pi, pi)).  Apparent-place hour angles couple RA and dec through
+    precession, so the apparent geometry functions compute theirs from
+    :func:`apparent_radec` + :func:`gast` directly."""
+    ha = gmst(unix_time) + lon - ra
     return (ha + np.pi) % (2 * np.pi) - np.pi
 
 
