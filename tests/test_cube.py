@@ -351,3 +351,37 @@ def test_wave_batched_slices_matches_scan(monkeypatch, tmp_path):
     res_batch = np.asarray(fn2(batch).residual)
     scale = np.abs(res_scan).max()
     np.testing.assert_allclose(res_batch, res_scan, atol=1e-5 * scale)
+
+
+def test_cube_weights_noise_uses_weight_scale(tmp_path, monkeypatch):
+    """Cube-mode weights_noise statistics apply dataset.weight_scale(),
+    matching the per-channel path (ADVICE r2: katdal datasets were ~41%
+    high).  Same data, weight_scale None vs 0.5 -> ratio exactly 0.5."""
+    import json
+
+    from katsdpimager_tpu import pipeline
+    from katsdpimager_tpu.loader_hdf5 import LoaderHDF5
+
+    sim_path = str(tmp_path / "ws.h5")
+    simulate.make_sim_dataset(sim_path, num_antennas=12, num_times=8,
+                              num_channels=8, max_radius=600.0)
+
+    def run(outdir, scale):
+        if scale is None:
+            monkeypatch.setattr(LoaderHDF5, "weight_scale",
+                                lambda self: None)
+        else:
+            monkeypatch.setattr(LoaderHDF5, "weight_scale",
+                                lambda self: scale)
+        rc = pipeline.main([
+            sim_path, str(tmp_path / outdir), "--cube", "--pixels", "128",
+            "--kernel-width", "8", "--minor", "10", "--major", "1",
+            "--weight-type", "uniform", "--no-thumbnails"])
+        assert rc == 0
+        with open(tmp_path / outdir / "state.json") as f:
+            return json.load(f)["stats/0"]["weights_noise"]
+
+    wn_unscaled = run("out_a", None)
+    wn_scaled = run("out_b", 0.5)
+    assert wn_unscaled is not None and wn_unscaled > 0
+    assert wn_scaled == pytest.approx(0.5 * wn_unscaled, rel=1e-6)
