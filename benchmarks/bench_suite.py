@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # jax is preloaded at interpreter startup in this session; the env var
+    # alone is too late (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -190,6 +196,24 @@ def bench_fft():
     _report(metric="fft", value=round(gib, 2), unit="GiB/s", pixels=pixels)
 
 
+def bench_fft_mxu():
+    """MXU four-step matmul FFT (ops/fft.py), same effective-GiB/s metric
+    as bench_fft for direct comparison."""
+    pixels = 8192 if _accel() else 1024
+    rng = np.random.default_rng(3)
+    grid = (rng.normal(size=(pixels, pixels))
+            + 1j * rng.normal(size=(pixels, pixels))).astype(np.complex64)
+    from katsdpimager_tpu import xfer
+    from katsdpimager_tpu.ops import fft as mfft
+
+    grid_j = xfer.device_complex(grid)
+    fn = jax.jit(lambda g: mfft.ifft2(g))
+    dt = _time(fn, grid_j)
+    gib = pixels * pixels * 8 * 4 / dt / 2 ** 30
+    _report(metric="fft_mxu", value=round(gib, 2), unit="GiB/s",
+            pixels=pixels)
+
+
 def bench_clean():
     from katsdpimager_tpu.ops import clean as clean_ops
 
@@ -279,13 +303,52 @@ def bench_predict():
             num_vis=n, num_sources=S)
 
 
+def bench_predict_exact():
+    """Exact trig-free prediction for pixel-grid components
+    (predict_subtract_exact; the model_predict path)."""
+    from katsdpimager_tpu.ops import predict
+    from katsdpimager_tpu import xfer
+
+    n = (1 << 20) if _accel() else (1 << 16)
+    S, O, N = 256, 8, 4096
+    W = 32
+    rng = np.random.default_rng(5)
+    xi = jnp.asarray(rng.integers(-N // 4, N // 4, S).astype(np.int32))
+    yi = jnp.asarray(rng.integers(-N // 4, N // 4, S).astype(np.int32))
+    pix = 1.0 / (N * O * 1e-4)
+    l = np.asarray(xi) * pix
+    m = np.asarray(yi) * pix
+    n1 = jnp.asarray((np.sqrt(np.maximum(1 - l * l - m * m, 0)) - 1
+                      ).astype(np.float32))
+    flux = jnp.asarray(rng.uniform(0.1, 1.0, size=(S, 1)).astype(np.float32))
+    uv = jnp.asarray(rng.integers(-1000, 1000, size=(n, 2)).astype(np.int32))
+    sub = jnp.asarray(rng.integers(0, O, size=(n, 2)).astype(np.int32))
+    wp = jnp.asarray(rng.integers(0, W, size=n).astype(np.int32))
+    weights = jnp.ones((n, 1), jnp.float32)
+    vis_np = (rng.normal(size=(n, 1))
+              + 1j * rng.normal(size=(n, 1))).astype(np.complex64)
+
+    def run():
+        vis = xfer.device_complex(vis_np)
+        return predict.predict_subtract_exact(
+            xi, yi, n1, flux, uv, sub, vis, weights, wp,
+            jnp.float32(0.5), jnp.float32(10.0), pixels=N, oversample=O,
+            w_planes=W)
+
+    dt = _time(run)
+    _report(metric="predict_exact", value=round(n / dt / 1e6, 2),
+            unit="Mvis/s", num_vis=n, num_sources=S)
+
+
 ALL = {
     "preprocess": bench_preprocess,
     "grid": bench_grid,
     "degrid": bench_degrid,
     "fft": bench_fft,
+    "fft_mxu": bench_fft_mxu,
     "clean": bench_clean,
     "predict": bench_predict,
+    "predict_exact": bench_predict_exact,
     "channels": bench_channels,
 }
 
