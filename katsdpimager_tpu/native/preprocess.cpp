@@ -16,20 +16,41 @@
 //  - uv is quantized to (cell, subpixel) at `oversample` subcells, w to
 //    (w_slice, w_plane) with a half-width first slice;
 //  - records out of gridding range are dropped;
-//  - identically-quantized records are merged (vis and weights summed);
+//  - identically-quantized records are merged (vis and weights summed in
+//    input order, matching a stable sort by key);
 //  - output is sorted by (w_slice, v, u, sub_v, sub_u, w_plane).
+//
+// Pipeline (all stages OpenMP-parallel, measured on this 4-core host):
+//  1. transform: Mueller/quantize into a 64-byte Record array (reused
+//     arena, no zero-initialisation — value-initialising 0.5 GB cost more
+//     than the transform itself);
+//  2. gather: block-counted parallel compaction of (key, index) pairs,
+//     computing OR/AND key masks on the fly;
+//  3. sort: LSD radix sort on the packed key, 8-bit digits, skipping
+//     digits the OR/AND masks prove constant (keys are packed with
+//     geometry-tight field widths so most high digits skip);
+//  4. merge: run boundaries are counted per block (prefix-summed into
+//     output offsets), then each block merges its runs directly into the
+//     caller's struct-of-arrays output — no scratch copy, no serial
+//     compaction pass.
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <complex>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
-#include <parallel/algorithm>
+#endif
+#ifdef __linux__
+#include <sys/mman.h>
 #endif
 
 namespace {
@@ -46,15 +67,16 @@ struct ChannelConfig {
 
 constexpr int MAX_P = 4;
 
-struct Record {
-    uint64_t key;
+// One cache line per record: the merge stage gathers records in sorted
+// (i.e. random) order, so a straddling record would cost two misses.
+struct alignas(64) Record {
     int16_t uv[2];
     int16_t sub_uv[2];
     int16_t w_plane;
-    int16_t w_slice;
     float weights[MAX_P];
     std::complex<float> vis[MAX_P];
 };
+static_assert(sizeof(Record) == 64, "Record must be one cache line");
 
 inline void subpixel_coord(float x, int32_t oversample, int16_t &pixel,
                            int16_t &subpixel) {
@@ -69,16 +91,166 @@ inline void subpixel_coord(float x, int32_t oversample, int16_t &pixel,
     subpixel = int16_t(s);
 }
 
-inline uint64_t pack_key(int16_t u, int16_t v, int16_t su, int16_t sv,
-                         int16_t wp, int16_t ws) {
-    // (w_slice, v, u, sub_v, sub_u, w_plane), all biased non-negative.
-    uint64_t key = uint64_t(uint16_t(ws));
-    key = (key << 16) | uint16_t(v + 16384);
-    key = (key << 16) | uint16_t(u + 16384);
-    key = (key << 7) | uint16_t(sv);
-    key = (key << 7) | uint16_t(su);
-    key = (key << 10) | uint16_t(wp);
-    return key;
+inline int ceil_log2(int64_t v) {
+    int b = 0;
+    while ((int64_t(1) << b) < v) b++;
+    return b;
+}
+
+// Geometry-tight key packing: (w_slice, v, u, sub_v, sub_u, w_plane) with
+// per-field bit widths from the config, so the radix sort's digit-skip
+// sees every unused high bit as constant.  Same lexicographic order as
+// fixed-width packing (fields are packed in the same order, disjoint
+// bits).  Worst case 7+17+17+7+7+10 = 65 bits would overflow, but the
+// footprint check bounds biased u/v to [0, pixels], i.e. bits_uv =
+// ceil_log2(pixels + 1) <= 16 for the supported pixels <= 32768, giving
+// <= 63 bits.
+struct KeyPacker {
+    int bits_uv, bits_s, bits_wp, ws_shift;
+
+    explicit KeyPacker(const ChannelConfig &cfg)
+        : bits_uv(ceil_log2(int64_t(cfg.pixels) + 1)),
+          bits_s(ceil_log2(cfg.oversample)),
+          bits_wp(ceil_log2(cfg.w_planes)),
+          ws_shift(2 * bits_uv + 2 * bits_s + bits_wp) {}
+
+    uint64_t pack(int32_t bu, int32_t bv, int16_t su, int16_t sv,
+                  int16_t wp, int16_t ws) const {
+        uint64_t key = uint64_t(uint16_t(ws));
+        key = (key << bits_uv) | uint32_t(bv);
+        key = (key << bits_uv) | uint32_t(bu);
+        key = (key << bits_s) | uint16_t(sv);
+        key = (key << bits_s) | uint16_t(su);
+        key = (key << bits_wp) | uint16_t(wp);
+        return key;
+    }
+
+    int16_t w_slice(uint64_t key) const {
+        return int16_t(key >> ws_shift);
+    }
+};
+
+// Stage timing, printed to stderr when KTPU_NATIVE_PROFILE=1.
+struct StageTimer {
+    using clock = std::chrono::steady_clock;
+    bool enabled;
+    clock::time_point last;
+    StageTimer() : enabled([] {
+        const char *e = std::getenv("KTPU_NATIVE_PROFILE");
+        return e && e[0] == '1';
+    }()), last(clock::now()) {}
+    void mark(const char *name) {
+        if (!enabled) return;
+        auto now = clock::now();
+        std::fprintf(stderr, "[ktpu-native] %-10s %7.1f ms\n", name,
+                     std::chrono::duration<double, std::milli>(now - last)
+                         .count());
+        last = now;
+    }
+};
+
+// Reusable buffers: calls are serialised by g_mutex (the pipeline is
+// internally parallel, so concurrent channel calls would only thrash the
+// cores), and the buffers persist across calls so the ~0.7 GB working set
+// is allocated and page-faulted once per process, not once per channel.
+struct Arena {
+    template <typename T>
+    struct Buf {
+        T *p = nullptr;
+        size_t cap = 0;
+        T *ensure(size_t n) {
+            if (n > cap) {
+                std::free(p);
+                // aligned_alloc honours alignas(64) Records (malloc's
+                // 16-byte alignment would fault SIMD whole-record copies).
+                const size_t bytes = (n * sizeof(T) + 63) & ~size_t(63);
+                p = static_cast<T *>(std::aligned_alloc(64, bytes));
+                cap = p ? n : 0;
+#ifdef __linux__
+                // Transparent hugepages cut TLB misses on the random
+                // record gathers in the merge stage.
+                if (p) madvise(p, bytes, MADV_HUGEPAGE);
+#endif
+            }
+            return p;
+        }
+    };
+    Buf<Record> records;
+    Buf<uint64_t> keys_in;   // keys by input index (transform output)
+    Buf<uint8_t> keep;
+    Buf<uint64_t> keys[2];   // radix ping-pong
+    Buf<int32_t> idx[2];
+};
+
+Arena g_arena;
+std::mutex g_mutex;
+
+int num_threads() {
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
+// Parallel LSD radix sort of (keys, idx) by key, DIGIT_BITS-wide digits,
+// stable.  Digits constant across all keys (per key_or/key_and) are
+// skipped — with geometry-tight key packing a 4k-grid key uses ~40 bits,
+// so only 4 of the 6 digits run.  Returns which ping-pong buffer (0/1)
+// holds the sorted result.
+constexpr int DIGIT_BITS = 11;
+constexpr int NUM_DIGITS = (64 + DIGIT_BITS - 1) / DIGIT_BITS;
+constexpr size_t NUM_BUCKETS = size_t(1) << DIGIT_BITS;
+constexpr uint64_t DIGIT_MASK = NUM_BUCKETS - 1;
+
+int radix_sort(Arena &a, size_t n, uint64_t key_or, uint64_t key_and) {
+    const int T = num_threads();
+    int src = 0;
+    std::vector<size_t> hist(size_t(T) * NUM_BUCKETS);
+    for (int d = 0; d < NUM_DIGITS; d++) {
+        const int sh = DIGIT_BITS * d;
+        if (((key_or >> sh) & DIGIT_MASK) == ((key_and >> sh) & DIGIT_MASK))
+            continue;  // constant digit
+        const uint64_t *ks = a.keys[src].p;
+        const int32_t *is = a.idx[src].p;
+        uint64_t *kd = a.keys[1 - src].p;
+        int32_t *id = a.idx[1 - src].p;
+        std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel num_threads(T)
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            const size_t lo = n * t / T, hi = n * (t + 1) / T;
+            size_t *h = hist.data() + size_t(t) * NUM_BUCKETS;
+            for (size_t i = lo; i < hi; i++)
+                h[(ks[i] >> sh) & DIGIT_MASK]++;
+#pragma omp barrier
+#pragma omp single
+            {
+                // bucket-major exclusive prefix: offset of (bucket b,
+                // thread t) = all smaller buckets + same bucket in
+                // earlier threads.
+                size_t sum = 0;
+                for (size_t b = 0; b < NUM_BUCKETS; b++)
+                    for (int tt = 0; tt < T; tt++) {
+                        size_t &c = hist[size_t(tt) * NUM_BUCKETS + b];
+                        size_t v = c;
+                        c = sum;
+                        sum += v;
+                    }
+            }
+            for (size_t i = lo; i < hi; i++) {
+                const size_t o = h[(ks[i] >> sh) & DIGIT_MASK]++;
+                kd[o] = ks[i];
+                id[o] = is[i];
+            }
+        }
+        src = 1 - src;
+    }
+    return src;
 }
 
 }  // namespace
@@ -104,6 +276,7 @@ int64_t ktpu_preprocess_channel(
     int64_t *out_slice_counts)     // (w_slices,)
 {
     if (num_p > MAX_P || num_p < 1) return -1;
+    std::lock_guard<std::mutex> guard(g_mutex);
     const auto *vis_c = reinterpret_cast<const std::complex<float> *>(vis_in);
     const auto *mueller_c = reinterpret_cast<const std::complex<float> *>(mueller);
 
@@ -111,13 +284,24 @@ int64_t ktpu_preprocess_channel(
     const float w_scale =
         float((cfg->w_slices - 0.5) * cfg->w_planes / cfg->max_w);
     const int32_t max_slice_plane = cfg->w_slices * cfg->w_planes - 1;
-    const int32_t uv_bias = (cfg->kernel_width - 1) / 2 - cfg->pixels / 2;
+    const KeyPacker packer(*cfg);
+    const int32_t half = cfg->pixels / 2;
+    const int32_t kw_half = (cfg->kernel_width - 1) / 2;
 
-    std::vector<Record> records(n);
-    std::vector<uint8_t> keep(n, 0);
+    StageTimer timer;
+    Record *records = g_arena.records.ensure(n);
+    uint64_t *keys_in = g_arena.keys_in.ensure(n);
+    uint8_t *keep = g_arena.keep.ensure(n);
+    for (auto &b : g_arena.keys) b.ensure(n);
+    for (auto &b : g_arena.idx) b.ensure(n);
+    if (!records || !keys_in || !keep || !g_arena.keys[1].p ||
+        !g_arena.idx[1].p)
+        return -1;
+    timer.mark("alloc");
 
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
+        keep[i] = 0;
         Record &r = records[i];
         const float *w_row = weights_in + i * num_q;
         bool flagged = false;
@@ -174,99 +358,136 @@ int64_t ktpu_preprocess_channel(
         int32_t slice_plane = std::min(int32_t(wq), max_slice_plane);
         if (slice_plane < 0) slice_plane = 0;
         r.w_plane = int16_t(slice_plane % cfg->w_planes);
-        r.w_slice = int16_t(slice_plane / cfg->w_planes);
+        const int16_t w_slice = int16_t(slice_plane / cfg->w_planes);
 
         // Footprint must fit the grid.
-        const int32_t iu = r.uv[0] + cfg->pixels / 2 - (cfg->kernel_width - 1) / 2;
-        const int32_t iv = r.uv[1] + cfg->pixels / 2 - (cfg->kernel_width - 1) / 2;
-        (void)uv_bias;
-        if (iu < 0 || iv < 0 || iu + cfg->kernel_width > cfg->pixels ||
-            iv + cfg->kernel_width > cfg->pixels)
+        const int32_t bu = r.uv[0] + half - kw_half;
+        const int32_t bv = r.uv[1] + half - kw_half;
+        if (bu < 0 || bv < 0 || bu + cfg->kernel_width > cfg->pixels ||
+            bv + cfg->kernel_width > cfg->pixels)
             continue;
 
-        r.key = pack_key(r.uv[0], r.uv[1], r.sub_uv[0], r.sub_uv[1],
-                         r.w_plane, r.w_slice);
+        keys_in[i] = packer.pack(r.uv[0] + half, r.uv[1] + half,
+                                 r.sub_uv[0], r.sub_uv[1], r.w_plane,
+                                 w_slice);
         keep[i] = 1;
     }
+    timer.mark("transform");
 
-    // Sort lightweight (key, index) pairs instead of whole records.
-    std::vector<std::pair<uint64_t, int32_t>> kept;
-    kept.reserve(n);
-    for (int64_t i = 0; i < n; i++)
-        if (keep[i]) kept.emplace_back(records[i].key, int32_t(i));
-    if (kept.empty()) {
+    // Parallel compaction of kept (key, index) pairs, with OR/AND key
+    // masks for the radix digit-skip.
+    const int T = num_threads();
+    std::vector<size_t> block_count(T + 1, 0);
+    uint64_t key_or = 0, key_and = ~uint64_t(0);
+#pragma omp parallel num_threads(T) reduction(|:key_or) reduction(&:key_and)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        size_t c = 0;
+        for (int64_t i = lo; i < hi; i++) c += keep[i];
+        block_count[t + 1] = c;
+#pragma omp barrier
+#pragma omp single
+        {
+            for (int tt = 0; tt < T; tt++)
+                block_count[tt + 1] += block_count[tt];
+        }
+        size_t o = block_count[t];
+        uint64_t *kd = g_arena.keys[0].p;
+        int32_t *id = g_arena.idx[0].p;
+        for (int64_t i = lo; i < hi; i++)
+            if (keep[i]) {
+                key_or |= keys_in[i];
+                key_and &= keys_in[i];
+                kd[o] = keys_in[i];
+                id[o] = int32_t(i);
+                o++;
+            }
+    }
+    const size_t total = block_count[T];
+    if (total == 0) {
         std::memset(out_slice_counts, 0, sizeof(int64_t) * cfg->w_slices);
         return 0;
     }
+    timer.mark("gather");
 
-#ifdef _OPENMP
-    __gnu_parallel::sort(kept.begin(), kept.end());
-#else
-    std::sort(kept.begin(), kept.end());
-#endif
+    const int which = radix_sort(g_arena, total, key_or, key_and);
+    const uint64_t *skeys = g_arena.keys[which].p;
+    const int32_t *sidx = g_arena.idx[which].p;
+    timer.mark("sort");
 
-    // Merge runs with identical keys: partition the sorted array at key
-    // boundaries and merge each partition in parallel, then compact.
-    std::memset(out_slice_counts, 0, sizeof(int64_t) * cfg->w_slices);
-    auto *out_vis_c = reinterpret_cast<std::complex<float> *>(out_vis);
-    const size_t total = kept.size();
-#ifdef _OPENMP
-    const int nthreads = omp_get_max_threads();
-#else
-    const int nthreads = 1;
-#endif
-    std::vector<size_t> part(nthreads + 1, total);
+    // Merge runs of identical keys straight into the caller's output:
+    // count runs per block (blocks aligned to run starts), prefix-sum into
+    // output offsets, then merge-write each block independently.
+    std::vector<size_t> part(T + 1, total);
     part[0] = 0;
-    for (int t = 1; t < nthreads; t++) {
-        size_t pos = total * t / nthreads;
-        // advance to the start of the next key run
-        while (pos < total && pos > 0 && kept[pos].first == kept[pos - 1].first)
-            pos++;
+    for (int t = 1; t < T; t++) {
+        size_t pos = total * t / T;
+        while (pos < total && pos > 0 && skeys[pos] == skeys[pos - 1]) pos++;
         part[t] = pos;
     }
-    // Each partition merges into its own span of the output (upper bound:
-    // partition length), then spans are compacted.
-    std::vector<int64_t> part_out(nthreads, 0);
-    std::vector<std::vector<Record>> part_records(nthreads);
-
-#pragma omp parallel for schedule(static, 1)
-    for (int t = 0; t < nthreads; t++) {
-        std::vector<Record> &local = part_records[t];
-        local.reserve(part[t + 1] - part[t]);
+    std::vector<size_t> runs(T + 1, 0);
+    std::vector<std::vector<int64_t>> slice_counts(
+        T, std::vector<int64_t>(cfg->w_slices, 0));
+    auto *out_vis_c = reinterpret_cast<std::complex<float> *>(out_vis);
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        size_t c = 0;
+        for (size_t i = part[t]; i < part[t + 1]; i++)
+            c += (i == part[t]) || (skeys[i] != skeys[i - 1]);
+        runs[t + 1] = c;
+#pragma omp barrier
+#pragma omp single
+        {
+            for (int tt = 0; tt < T; tt++) runs[tt + 1] += runs[tt];
+        }
+        int64_t o = int64_t(runs[t]);
+        int64_t *sc = slice_counts[t].data();
+        const size_t pf_end = part[t + 1];
         for (size_t i = part[t]; i < part[t + 1];) {
-            Record acc = records[kept[i].second];
+            // The gathers below hit records in sorted (random) order;
+            // prefetch a handful of iterations ahead to hide the misses.
+            if (i + 8 < pf_end) __builtin_prefetch(&records[sidx[i + 8]]);
+            const uint64_t key = skeys[i];
+            Record acc = records[sidx[i]];
             size_t j = i + 1;
-            while (j < part[t + 1] && kept[j].first == acc.key) {
-                const Record &other = records[kept[j].second];
+            while (j < part[t + 1] && skeys[j] == key) {
+                const Record &other = records[sidx[j]];
                 for (int32_t p = 0; p < num_p; p++) {
                     acc.vis[p] += other.vis[p];
                     acc.weights[p] += other.weights[p];
                 }
                 j++;
             }
-            local.push_back(acc);
+            out_uv[o * 2 + 0] = acc.uv[0];
+            out_uv[o * 2 + 1] = acc.uv[1];
+            out_sub_uv[o * 2 + 0] = acc.sub_uv[0];
+            out_sub_uv[o * 2 + 1] = acc.sub_uv[1];
+            out_w_plane[o] = acc.w_plane;
+            for (int32_t p = 0; p < num_p; p++) {
+                out_weights[o * num_p + p] = acc.weights[p];
+                out_vis_c[o * num_p + p] = acc.vis[p];
+            }
+            sc[packer.w_slice(key)]++;
+            o++;
             i = j;
         }
-        part_out[t] = int64_t(local.size());
     }
-
-    int64_t out_n = 0;
-    for (int t = 0; t < nthreads; t++) {
-        for (const Record &acc : part_records[t]) {
-            out_uv[out_n * 2 + 0] = acc.uv[0];
-            out_uv[out_n * 2 + 1] = acc.uv[1];
-            out_sub_uv[out_n * 2 + 0] = acc.sub_uv[0];
-            out_sub_uv[out_n * 2 + 1] = acc.sub_uv[1];
-            out_w_plane[out_n] = acc.w_plane;
-            for (int32_t p = 0; p < num_p; p++) {
-                out_weights[out_n * num_p + p] = acc.weights[p];
-                out_vis_c[out_n * num_p + p] = acc.vis[p];
-            }
-            out_slice_counts[acc.w_slice]++;
-            out_n++;
-        }
-    }
-    return out_n;
+    std::memset(out_slice_counts, 0, sizeof(int64_t) * cfg->w_slices);
+    for (int t = 0; t < T; t++)
+        for (int32_t s = 0; s < cfg->w_slices; s++)
+            out_slice_counts[s] += slice_counts[t][s];
+    timer.mark("merge");
+    return int64_t(runs[T]);
 }
 
 int32_t ktpu_num_threads() {

@@ -115,3 +115,33 @@ def test_engine_param_hdf5_spill(tmp_path):
         if len(a):
             np.testing.assert_array_equal(a.uv, b.uv)
             np.testing.assert_allclose(a.vis, b.vis, rtol=1e-4, atol=1e-5)
+
+
+def test_native_heavy_merge_and_radix_stress():
+    """Many duplicated quantized coordinates: stresses the radix sort's
+    digit-skip on a coarse grid (few occupied key bits) and the parallel
+    run-merge with long runs spanning thread-partition boundaries."""
+    ip, gp = make_params(pixels=256, cell_size=50.0)
+    rng = np.random.default_rng(43)
+    n = 50_000
+    # Draw UVW from a tiny set of distinct points so runs are thousands long.
+    pool = rng.uniform(-1500, 1500, size=(37, 3)).astype(np.float32)
+    uvw = pool[rng.integers(0, len(pool), n)]
+    vis = (rng.normal(size=(1, n, 4)) + 1j * rng.normal(size=(1, n, 4))
+           ).astype(np.complex64)
+    weights = rng.uniform(0.5, 2.0, size=(1, n, 4)).astype(np.float32)
+    mueller = polarization.polarization_matrix(
+        [polarization.STOKES_I],
+        [polarization.STOKES_XX, polarization.STOKES_XY,
+         polarization.STOKES_YX, polarization.STOKES_YY])
+    compare_collectors(ip, gp, uvw, weights, vis, mueller)
+
+
+def test_native_all_flagged_is_empty():
+    ip, gp = make_params()
+    uvw = np.zeros((10, 3), np.float32)
+    vis = np.ones((1, 10, 1), np.complex64)
+    weights = np.zeros((1, 10, 1), np.float32)   # all flagged
+    c = preprocess.VisibilityCollectorNative([ip], [gp])
+    c.add(uvw, weights, vis, mueller_stokes=np.eye(1, dtype=np.complex64))
+    assert c.num_output == 0
