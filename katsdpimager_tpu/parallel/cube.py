@@ -133,13 +133,22 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
             pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
         return psum(gpad[:, :N, :N])
 
+    # Completely empty w-slices skip the whole slice body (tile init, grid
+    # psum, FFT, W-correction): a zero grid contributes exactly zero to
+    # the dirty accumulation, so the skip is bitwise-neutral.  nc_slices
+    # is pmaxed over the vis shards by the shard_fns, so the cond (and
+    # the psum inside its taken branch) is uniform across the mesh.
     dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
     if os.environ.get("KTPU_BATCH_SLICES", "0") == "1":
         # one batched FFT+correction over all W slices (see multichannel)
         def slice_grid(_, xs):
             uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s = xs
-            return 0, one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
-                               nc_s)
+            grid = jax.lax.cond(
+                nc_s > 0,
+                lambda: one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
+                                 nc_s),
+                lambda: jnp.zeros((Pp, N, N), jnp.complex64))
+            return 0, grid
 
         _, grids = jax.lax.scan(
             slice_grid, 0,
@@ -149,10 +158,13 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
 
     def body(dirty, xs):
         uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
-        grid = one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s)
-        dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid, pixel_size,
-                                   pixels=N)
-        return dirty, None
+
+        def do(dirty):
+            grid = one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s)
+            return grid_to_image_impl(grid, dirty, taper1d, w_mid,
+                                      pixel_size, pixels=N)
+
+        return jax.lax.cond(nc_s > 0, do, lambda d: d, dirty), None
 
     dirty, _ = jax.lax.scan(body, dirty0,
                             (uv, sub_uv, w_plane, anchor, valid, vis, mid_w,
@@ -170,14 +182,20 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
 
     def body(_, xs):
         uv_s, sub_s, wp_s, anc_s, val_s, wt_s, vis_s, w_mid, nc_s = xs
-        grid = image_to_grid_impl(model, taper1d, w_mid, pixel_size,
-                                  pixels=N)
-        gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
-        new_vis = mxu_gridder.degrid_chunks_impl(
-            gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
-            nc_s,
-            pixels=N, rv=cfg.rv, ru=cfg.ru,
-            assembly=mxu_gridder.default_assembly())
+
+        def do():
+            grid = image_to_grid_impl(model, taper1d, w_mid, pixel_size,
+                                      pixels=N)
+            gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
+            return mxu_gridder.degrid_chunks_impl(
+                gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
+                nc_s,
+                pixels=N, rv=cfg.rv, ru=cfg.ru,
+                assembly=mxu_gridder.default_assembly())
+
+        # An empty slice has nothing to degrid: skip its model FFT and
+        # keep the stored (all-invalid) visibilities unchanged.
+        new_vis = jax.lax.cond(nc_s > 0, do, lambda: vis_s)
         return None, new_vis
 
     _, new_vis = jax.lax.scan(
@@ -386,7 +404,10 @@ def make_wave_image(mesh: Mesh, cfg: CubeConfig):
 
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
                  anchor, valid, weights, vis, *sky):
-        nc_slices = jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0)
+        # max over channels (unbatched loop bound), pmax over vis shards
+        # (uniform empty-slice cond; see _grid_slices).
+        nc_slices = jax.lax.pmax(
+            jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0), "vis")
 
         def one(args, nc_s):
             if subtract:
@@ -445,7 +466,8 @@ def make_wave_psf(mesh: Mesh, cfg: CubeConfig):
     def shard_fn(kernel, taper1d, pixel_size, mid_w, uv, sub_uv, w_plane,
                  anchor, valid, weights):
         psum = partial(jax.lax.psum, axis_name="vis")
-        nc_slices = jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0)
+        nc_slices = jax.lax.pmax(
+            jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0), "vis")
 
         def one(args, nc_s):
             return _channel_density_psf(cfg, *args, psum, nc_slices=nc_s)
@@ -486,7 +508,8 @@ def make_wave_clean(mesh: Mesh, cfg: CubeConfig, patch: int):
                  anchor, valid, weights, vis, density, psf, scale, *sky):
         psum = partial(jax.lax.psum, axis_name="vis")
 
-        nc_slices = jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0)
+        nc_slices = jax.lax.pmax(
+            jnp.max(jax.vmap(_nc_slices_of)(valid), axis=0), "vis")
 
         def one(args, nc_s):
             if subtract:

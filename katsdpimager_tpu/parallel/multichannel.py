@@ -99,7 +99,16 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
     running unsharded).  ``nc_slices`` (S,) int32 bounds the dense group
     loop per w-slice to occupied chunks; it MUST be unbatched across a
     channel vmap (callers take the max over channels) so the bound stays a
-    plain while-loop predicate rather than a masked batched loop.
+    plain while-loop predicate rather than a masked batched loop, and —
+    when ``vis_axis`` is set — uniform across the vis shards (callers
+    pmax it) so the empty-slice ``lax.cond`` below takes the same branch
+    on every shard (its taken branch contains the grid psum).
+
+    Completely empty w-slices (zero occupied chunks across all channels
+    and shards — the outermost slices of real observations) skip the
+    whole slice body: tile init, grid reduction, FFT and W-correction.
+    A zero grid contributes exactly zero to the dirty accumulation, so
+    the skip is bitwise-neutral.
     """
     N = cfg.pixels
     Pp = cfg.num_pols
@@ -146,8 +155,12 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
             # of HBM; kills the per-slice fixed cost when S > 1).
             def slice_grid(_, xs):
                 uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s = xs
-                return 0, grid_slice(uv_s, sub_s, wp_s, anc_s, val_s,
-                                     vis_s, nc_s)
+                grid = jax.lax.cond(
+                    nc_s > 0,
+                    lambda: grid_slice(uv_s, sub_s, wp_s, anc_s, val_s,
+                                       vis_s, nc_s),
+                    lambda: jnp.zeros((Pp, N, N), vis.dtype))
+                return 0, grid
 
             _, grids = jax.lax.scan(
                 slice_grid, 0,
@@ -157,10 +170,14 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
 
         def slice_body(dirty, xs):
             uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
-            grid = grid_slice(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
-                              nc_s)
-            dirty = grid_to_image_impl(grid, dirty, taper1d, w_mid,
-                                       pixel_size, pixels=N)
+
+            def do(dirty):
+                grid = grid_slice(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
+                                  nc_s)
+                return grid_to_image_impl(grid, dirty, taper1d, w_mid,
+                                          pixel_size, pixels=N)
+
+            dirty = jax.lax.cond(nc_s > 0, do, lambda d: d, dirty)
             return dirty, None
 
         dirty, _ = jax.lax.scan(
@@ -213,10 +230,14 @@ def make_imaging_step(mesh: Mesh, cfg: MultiChannelConfig):
                  anchor, valid, weights, vis):
         # Occupied-chunk bound per w-slice, maxed over this shard's
         # channels so the dense group loop's trip count is unbatched
-        # (see _channel_pipeline docstring).
-        nc_slices = jnp.max(
-            jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32), axis=-1),
-            axis=0)                                       # (S,)
+        # (see _channel_pipeline docstring), and pmaxed over the vis
+        # shards so the empty-slice cond's predicate (and its enclosed
+        # psum) is uniform across the mesh.
+        nc_slices = jax.lax.pmax(
+            jnp.max(
+                jnp.sum(jnp.any(valid, axis=-1).astype(jnp.int32), axis=-1),
+                axis=0),
+            "vis")                                        # (S,)
 
         def one(args, nc_s):
             return _channel_pipeline(cfg, *args, vis_axis="vis",

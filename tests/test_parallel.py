@@ -154,3 +154,44 @@ def test_batched_slices_matches_scan(monkeypatch):
     res_batch = np.asarray(make_imaging_step(mesh, cfg)(batch)[0])
     scale = np.abs(res_scan).max()
     np.testing.assert_allclose(res_batch, res_scan, atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("batch_slices", ["0", "1"])
+def test_empty_slice_skip_is_bitwise_neutral(monkeypatch, batch_slices):
+    """A completely empty w-slice must not change the result at all: the
+    slice body is skipped via lax.cond (scan path) or contributes an
+    exactly-zero grid (batched path), so appending an empty slice to a
+    batch reproduces the 2-slice result bitwise."""
+    monkeypatch.setenv("KTPU_BATCH_SLICES", batch_slices)
+
+    def cfg_with(w_slices):
+        return MultiChannelConfig(
+            pixels=64, num_pols=1, kernel_width=8, oversample=4,
+            w_planes=2, w_slices=w_slices, chunks_per_slice=16,
+            chunk_size=32, rv=16, ru=16, minor_cycles=0, patch=17,
+            loop_gain=0.2)
+
+    from katsdpimager_tpu.parallel.multichannel import ChannelBatch
+
+    cfg2 = cfg_with(2)
+    batch2 = make_example_batch(cfg2, 4)
+
+    def extend(x, fill=0):
+        """Append an empty slice along the S axis (axis 1)."""
+        a = np.asarray(x)
+        pad = np.full((a.shape[0], 1) + a.shape[2:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=1)
+
+    batch3 = ChannelBatch(
+        kernel=batch2.kernel, taper1d=batch2.taper1d,
+        pixel_size=batch2.pixel_size,
+        mid_w=extend(batch2.mid_w, fill=1.0),
+        uv=extend(batch2.uv), sub_uv=extend(batch2.sub_uv),
+        w_plane=extend(batch2.w_plane), anchor=extend(batch2.anchor),
+        valid=extend(batch2.valid), weights=extend(batch2.weights),
+        vis=extend(batch2.vis))
+
+    mesh = make_mesh(vis_shards=2)
+    res2 = np.asarray(make_imaging_step(mesh, cfg2)(batch2)[0])
+    res3 = np.asarray(make_imaging_step(mesh, cfg_with(3))(batch3)[0])
+    assert np.array_equal(res3, res2)
