@@ -42,12 +42,13 @@ class _WaveTimes(logging.Handler):
 
     def emit(self, record):
         msg = record.getMessage()
-        if "timing: host preprocess" not in msg:
+        if "timing: host preprocess+pack" not in msg:
             return
         import re
 
-        m = re.search(r"host preprocess ([0-9.]+)s \(pipeline blocked "
-                      r"([0-9.]+)s\), pack\+device\+write ([0-9.]+)s", msg)
+        m = re.search(r"host preprocess\+pack ([0-9.]+)s \(pipeline "
+                      r"blocked ([0-9.]+)s\), device\+write ([0-9.]+)s",
+                      msg)
         if m:
             self.host += float(m.group(1))
             self.blocked += float(m.group(2))
@@ -96,9 +97,9 @@ def main():
     print(f"\nEND-TO-END: {total:.1f}s for {channels} channels "
           f"-> {channels / total:.3f} channels/s "
           f"({total / channels:.2f} s/channel incl. host+write)")
-    print(f"host preprocess: {handler.host:.1f}s wall, pipeline blocked "
-          f"{handler.blocked:.1f}s ({100 * host_share:.0f}% of total); "
-          f"pack+device+write {handler.rest:.1f}s")
+    print(f"host preprocess+pack: {handler.host:.1f}s wall, pipeline "
+          f"blocked {handler.blocked:.1f}s ({100 * host_share:.0f}% of "
+          f"total); device+write {handler.rest:.1f}s")
     shutil.rmtree(work, ignore_errors=True)
 
 

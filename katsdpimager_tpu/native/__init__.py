@@ -68,6 +68,33 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64),   # out_slice_counts
         ]
         lib.ktpu_num_threads.restype = ctypes.c_int32
+        lib.ktpu_place_payload.restype = None
+        lib.ktpu_place_payload.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),   # row_chunk
+            ctypes.POINTER(ctypes.c_int32),   # row_slot
+            ctypes.POINTER(ctypes.c_float),   # weights
+            ctypes.POINTER(ctypes.c_float),   # vis
+            ctypes.POINTER(ctypes.c_float),   # out_wts
+            ctypes.POINTER(ctypes.c_float),   # out_vis
+        ]
+        lib.ktpu_pack_slice_coords.restype = ctypes.c_int64
+        lib.ktpu_pack_slice_coords.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16),   # uv
+            ctypes.POINTER(ctypes.c_int16),   # sub_uv
+            ctypes.POINTER(ctypes.c_int16),   # w_plane
+            ctypes.c_int32, ctypes.c_int32,   # pixels, kernel_width
+            ctypes.c_int32, ctypes.c_int32,   # ts, mc
+            ctypes.c_int64,                   # nc_cap
+            ctypes.POINTER(ctypes.c_int32),   # out_uv
+            ctypes.POINTER(ctypes.c_int32),   # out_sub
+            ctypes.POINTER(ctypes.c_int32),   # out_wp
+            ctypes.POINTER(ctypes.c_int32),   # out_anchor
+            ctypes.POINTER(ctypes.c_uint8),   # out_valid
+            ctypes.POINTER(ctypes.c_int32),   # row_chunk
+            ctypes.POINTER(ctypes.c_int32),   # row_slot
+        ]
         _lib = lib
         return lib
 
@@ -138,3 +165,59 @@ def preprocess_channel(uvw, weights, vis, mueller, geometry):
         "w_slice": ws, "weights": out_wt[:m], "vis": out_vis[:m],
         "count": int(m), "slice_counts": counts.astype(np.int32),
     }
+
+
+def _i32ptr(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def pack_slice_coords(uv, sub_uv, w_plane, *, pixels, kernel_width, ts, mc,
+                      out_uv, out_sub, out_wp, out_anchor, out_valid):
+    """Tile-chunk plan + coordinate scatter for one (channel, w-slice).
+
+    Native counterpart of ``mxu_gridder.plan_chunks_tiled_coords`` plus
+    the batch coordinate scatter (bitwise-identical assignment): fills the
+    caller's pre-zeroed ``(NC, Mc)``-layout views in parallel and returns
+    ``(n_chunks, row_chunk, row_slot)`` for streaming payload placement.
+    When ``n_chunks > NC`` nothing is written (caller grows the layout).
+    """
+    lib = load()
+    n = len(uv)
+    uv = np.ascontiguousarray(uv, np.int16)
+    sub_uv = np.ascontiguousarray(sub_uv, np.int16)
+    w_plane = np.ascontiguousarray(w_plane, np.int16)
+    for a, dt in ((out_uv, np.int32), (out_sub, np.int32),
+                  (out_wp, np.int32), (out_anchor, np.int32),
+                  (out_valid, np.bool_)):
+        assert a.dtype == dt and a.flags.c_contiguous
+    nc_cap = out_valid.shape[0]
+    row_chunk = np.empty(n, np.int32)
+    row_slot = np.empty(n, np.int32)
+    n_chunks = lib.ktpu_pack_slice_coords(
+        n, _i16ptr(uv), _i16ptr(sub_uv), _i16ptr(w_plane),
+        pixels, kernel_width, ts, mc, nc_cap,
+        _i32ptr(out_uv), _i32ptr(out_sub), _i32ptr(out_wp),
+        _i32ptr(out_anchor),
+        out_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32ptr(row_chunk), _i32ptr(row_slot))
+    if n_chunks < 0:
+        raise RuntimeError("native slice packing failed")
+    return int(n_chunks), row_chunk, row_slot
+
+
+def place_payload(row_chunk, row_slot, weights, vis, out_wts, out_vis):
+    """Scatter a payload block to its (chunk, slot) positions (parallel,
+    race-free: destinations are unique).  ``out_wts``/``out_vis`` are
+    (NC, Mc, P) float32/complex64 views of the wave batch."""
+    lib = load()
+    m = len(row_chunk)
+    assert (out_wts.flags.c_contiguous and out_vis.flags.c_contiguous
+            and out_wts.dtype == np.float32 and out_vis.dtype == np.complex64)
+    weights = np.ascontiguousarray(weights, np.float32)
+    vis = np.ascontiguousarray(vis, np.complex64)
+    lib.ktpu_place_payload(
+        m, out_wts.shape[-1], out_wts.shape[-2],
+        _i32ptr(row_chunk), _i32ptr(row_slot),
+        _fptr(weights), vis.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _fptr(out_wts),
+        out_vis.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

@@ -498,4 +498,139 @@ int32_t ktpu_num_threads() {
 #endif
 }
 
+// Tile-aligned chunk planning + coordinate scatter for one (channel,
+// w-slice): the native counterpart of ops/mxu_gridder.py's
+// plan_chunks_tiled_coords + the batch packer's coordinate scatter
+// (cube_frontend.pack_wave_arrays).  Semantics are bitwise-identical:
+// stable ordering by tile key (tv * ntu + tu) with ties in input order,
+// runs split into chunks of <= mc slots, anchors at (tv*ts, tu*ts).
+//
+// One-pass placement: tile keys span only (pixels/ts + 1)^2 values, so a
+// stable parallel COUNTING sort (per-thread per-tile histograms,
+// bucket-major prefix) yields every row's (chunk, slot) directly — no
+// (key, index) sort, no separate scatter pass.
+//
+// Writes the (nc_cap, mc) struct-of-arrays outputs (which the caller
+// pre-zeroes) plus per-ROW chunk/slot mappings for streaming payload
+// placement.  Returns the number of chunks needed; when that exceeds
+// nc_cap NOTHING is written (the caller grows the layout and repacks).
+// Returns -1 on error.
+int64_t ktpu_pack_slice_coords(
+    int64_t n,
+    const int16_t *uv,        // (n, 2) centred cell coords
+    const int16_t *sub_uv,    // (n, 2)
+    const int16_t *w_plane,   // (n,)
+    int32_t pixels, int32_t kernel_width, int32_t ts, int32_t mc,
+    int64_t nc_cap,
+    int32_t *out_uv,          // (nc_cap, mc, 2)
+    int32_t *out_sub,         // (nc_cap, mc, 2)
+    int32_t *out_wp,          // (nc_cap, mc)
+    int32_t *out_anchor,      // (nc_cap, 2)
+    uint8_t *out_valid,       // (nc_cap, mc)
+    int32_t *row_chunk,       // (n,)
+    int32_t *row_slot)        // (n,)
+{
+    if (n <= 0 || ts <= 0 || mc <= 0) return n == 0 ? 0 : -1;
+    std::lock_guard<std::mutex> guard(g_mutex);
+    const int32_t uv_bias = (kernel_width - 1) / 2 - pixels / 2;
+    const int32_t ntu = (pixels + ts - 1) / ts + 1;
+    const size_t nk = size_t(ntu) * ntu;
+
+    // Reuse the idx ping-pong buffer as key storage (int32 keys).
+    int32_t *keys = g_arena.idx[0].ensure(n);
+    if (!keys) return -1;
+    const int T = num_threads();
+    std::vector<size_t> hist(size_t(T) * nk, 0);
+
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        size_t *h = hist.data() + size_t(t) * nk;
+        for (int64_t i = lo; i < hi; i++) {
+            // biased coords are non-negative (footprint-checked upstream)
+            const int32_t tu = (int32_t(uv[2 * i + 0]) - uv_bias) / ts;
+            const int32_t tv = (int32_t(uv[2 * i + 1]) - uv_bias) / ts;
+            const int32_t key = tv * ntu + tu;
+            keys[i] = key;
+            h[key]++;
+        }
+    }
+
+    // Chunk numbering across tiles + per-(tile, thread) start offsets.
+    std::vector<int64_t> chunk_base(nk + 1, 0);
+    int64_t chunks = 0;
+    for (size_t k = 0; k < nk; k++) {
+        chunk_base[k] = chunks;
+        size_t total = 0;
+        for (int t = 0; t < T; t++) {
+            size_t &c = hist[size_t(t) * nk + k];
+            size_t v = c;
+            c = total;      // intra-tile start offset for thread t
+            total += v;
+        }
+        chunks += int64_t((total + mc - 1) / mc);
+    }
+    chunk_base[nk] = chunks;
+    if (chunks > nc_cap) return chunks;   // caller grows the layout
+
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        size_t *h = hist.data() + size_t(t) * nk;
+        for (int64_t i = lo; i < hi; i++) {
+            const int32_t key = keys[i];
+            const size_t pos = h[key]++;
+            const int64_t c = chunk_base[key] + int64_t(pos / mc);
+            const int64_t sl = int64_t(pos % mc);
+            const int64_t o = c * mc + sl;
+            out_uv[o * 2 + 0] = uv[2 * i + 0];
+            out_uv[o * 2 + 1] = uv[2 * i + 1];
+            out_sub[o * 2 + 0] = sub_uv[2 * i + 0];
+            out_sub[o * 2 + 1] = sub_uv[2 * i + 1];
+            out_wp[o] = w_plane[i];
+            out_valid[o] = 1;
+            if (sl == 0) {
+                out_anchor[c * 2 + 0] = (key / ntu) * ts;
+                out_anchor[c * 2 + 1] = (key % ntu) * ts;
+            }
+            row_chunk[i] = int32_t(c);
+            row_slot[i] = int32_t(sl);
+        }
+    }
+    return chunks;
+}
+
+// Payload placement for one (channel, w-slice) block: scatter weights and
+// visibilities to the (chunk, slot) positions computed by
+// ktpu_pack_slice_coords.  Each row has a unique destination, so the
+// parallel scatter is race-free.
+void ktpu_place_payload(
+    int64_t m, int32_t num_p, int32_t mc,
+    const int32_t *row_chunk, const int32_t *row_slot,
+    const float *weights,     // (m, P)
+    const float *vis,         // (m, P) complex interleaved
+    float *out_wts,           // (NC, Mc, P)
+    float *out_vis)           // (NC, Mc, P) complex interleaved
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; i++) {
+        const int64_t o = int64_t(row_chunk[i]) * mc + row_slot[i];
+        for (int32_t p = 0; p < num_p; p++) {
+            out_wts[o * num_p + p] = weights[i * num_p + p];
+            out_vis[(o * num_p + p) * 2 + 0] = vis[(i * num_p + p) * 2 + 0];
+            out_vis[(o * num_p + p) * 2 + 1] = vis[(i * num_p + p) * 2 + 1];
+        }
+    }
+}
+
 }  // extern "C"

@@ -321,6 +321,14 @@ def plan_chunks_tiled_coords(uv, *, pixels: int, kernel_width: int,
     tu = u0 // ts
     ntu = -(-pixels // ts) + 1
     key = tv * ntu + tu
+    # Tile keys span a tiny range ((pixels/ts + 1)^2); numpy's stable sort
+    # for integers is a radix sort whose pass count scales with the dtype
+    # width, so narrowing the key is ~8x (int16 vs int64 at 1.8M rows).
+    key_max = (ntu - 1) * ntu + ntu - 1
+    if key_max < np.iinfo(np.int16).max:
+        key = key.astype(np.int16)
+    elif key_max < np.iinfo(np.int32).max:
+        key = key.astype(np.int32)
     order = np.argsort(key, kind="stable")
     key_s = key[order]
 
@@ -353,6 +361,26 @@ def plan_chunks_tiled_coords(uv, *, pixels: int, kernel_width: int,
     return dict(order=order, chunk_of=chunk_of, slot_of=slot_of,
                 row_chunk=row_chunk, row_slot=row_slot, anchor=anchor,
                 valid=valid, n_chunks=n_chunks, n_padded=n_padded)
+
+
+def plan_chunks_tiled_count(uv, *, pixels: int, kernel_width: int,
+                            ts: int = 64, mc: int = 256) -> int:
+    """Number of chunks :func:`plan_chunks_tiled_coords` would produce.
+
+    Layout sizing (cube ``_plan_layout``) only needs the chunk count; a
+    bincount over tile keys gives it in O(n) without the argsort (the
+    count per tile is order-independent), ~40x cheaper than a full plan.
+    """
+    n = len(uv)
+    if n == 0:
+        return 0
+    K = kernel_width
+    uv_bias = (K - 1) // 2 - pixels // 2
+    tv = (uv[:, 1].astype(np.int64) - uv_bias) // ts
+    tu = (uv[:, 0].astype(np.int64) - uv_bias) // ts
+    ntu = -(-pixels // ts) + 1
+    counts = np.bincount(tv * ntu + tu)
+    return int(np.sum(-(-counts[counts > 0] // mc)))
 
 
 def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,

@@ -298,3 +298,22 @@ def test_plan_coords_matches_full_plan():
         rr = slice(start, min(n, start + 777))
         out[asg["row_chunk"][rr], asg["row_slot"][rr]] = vis[rr]
     np.testing.assert_array_equal(out, plan.vis)
+
+
+def test_plan_count_matches_full_plan():
+    """plan_chunks_tiled_count (bincount layout sizing, no argsort) must
+    equal the full planner's n_chunks, including at geometries whose tile
+    keys exceed the narrowed int16 sort-key range."""
+    rng = np.random.default_rng(11)
+    for pixels, ts in [(512, 64), (16384, 64)]:   # int16 and int32 keys
+        K, mc = 16, 64
+        lim = pixels // 2 - K - 1
+        uv = np.clip(rng.normal(scale=lim / 3, size=(3000, 2)),
+                     -lim, lim).astype(np.int32)
+        asg = mxu_gridder.plan_chunks_tiled_coords(
+            uv, pixels=pixels, kernel_width=K, ts=ts, mc=mc)
+        count = mxu_gridder.plan_chunks_tiled_count(
+            uv, pixels=pixels, kernel_width=K, ts=ts, mc=mc)
+        assert count == asg["n_chunks"] > 0
+    assert mxu_gridder.plan_chunks_tiled_count(
+        np.zeros((0, 2), np.int16), pixels=512, kernel_width=16) == 0

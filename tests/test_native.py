@@ -145,3 +145,104 @@ def test_native_all_flagged_is_empty():
     c = preprocess.VisibilityCollectorNative([ip], [gp])
     c.add(uvw, weights, vis, mueller_stokes=np.eye(1, dtype=np.complex64))
     assert c.num_output == 0
+
+
+def test_native_pack_slice_matches_numpy():
+    """ktpu_pack_slice_coords must reproduce the numpy tile planner's
+    chunk assignment, scatter and row mapping bitwise (the cube packer
+    switches between them on native availability)."""
+    from katsdpimager_tpu.ops import mxu_gridder
+
+    rng = np.random.default_rng(53)
+    n, pixels, K, ts, mc = 20000, 1024, 16, 64, 64
+    lim = pixels // 2 - K - 1
+    uv = np.clip(rng.normal(scale=lim / 3, size=(n, 2)), -lim, lim
+                 ).astype(np.int16)
+    sub = rng.integers(0, 8, size=(n, 2)).astype(np.int16)
+    wp = rng.integers(0, 32, size=n).astype(np.int16)
+
+    asg = mxu_gridder.plan_chunks_tiled_coords(
+        uv, pixels=pixels, kernel_width=K, ts=ts, mc=mc)
+    NC = asg["n_chunks"] + 7    # arbitrary capacity > needed
+    ref_uv = np.zeros((NC, mc, 2), np.int32)
+    ref_sub = np.zeros((NC, mc, 2), np.int32)
+    ref_wp = np.zeros((NC, mc), np.int32)
+    ref_anc = np.zeros((NC, 2), np.int32)
+    ref_val = np.zeros((NC, mc), bool)
+    order = asg["order"]
+    dst = (asg["chunk_of"], asg["slot_of"])
+    ref_uv[dst] = uv[order]
+    ref_sub[dst] = sub[order]
+    ref_wp[dst] = wp[order]
+    bound = min(NC, len(asg["anchor"]))
+    ref_anc[:bound] = asg["anchor"][:bound]
+    ref_val[:bound] = asg["valid"][:bound]
+
+    out_uv = np.zeros((NC, mc, 2), np.int32)
+    out_sub = np.zeros((NC, mc, 2), np.int32)
+    out_wp = np.zeros((NC, mc), np.int32)
+    out_anc = np.zeros((NC, 2), np.int32)
+    out_val = np.zeros((NC, mc), bool)
+    n_chunks, rc, rs = native.pack_slice_coords(
+        uv, sub, wp, pixels=pixels, kernel_width=K, ts=ts, mc=mc,
+        out_uv=out_uv, out_sub=out_sub, out_wp=out_wp,
+        out_anchor=out_anc, out_valid=out_val)
+    assert n_chunks == asg["n_chunks"]
+    np.testing.assert_array_equal(out_uv, ref_uv)
+    np.testing.assert_array_equal(out_sub, ref_sub)
+    np.testing.assert_array_equal(out_wp, ref_wp)
+    np.testing.assert_array_equal(out_anc, ref_anc)
+    np.testing.assert_array_equal(out_val, ref_val)
+    np.testing.assert_array_equal(rc, asg["row_chunk"])
+    np.testing.assert_array_equal(rs, asg["row_slot"])
+
+    # Overflow: returns the needed count and writes nothing.
+    probe = np.zeros((2, mc), np.int32)
+    n_over, _, _ = native.pack_slice_coords(
+        uv, sub, wp, pixels=pixels, kernel_width=K, ts=ts, mc=mc,
+        out_uv=np.zeros((2, mc, 2), np.int32),
+        out_sub=np.zeros((2, mc, 2), np.int32), out_wp=probe,
+        out_anchor=np.zeros((2, 2), np.int32),
+        out_valid=np.zeros((2, mc), bool))
+    assert n_over == asg["n_chunks"]
+    assert not probe.any()
+
+
+def test_native_place_payload_matches_numpy():
+    from katsdpimager_tpu.ops import mxu_gridder
+
+    rng = np.random.default_rng(59)
+    n, pixels, K, ts, mc, P = 10000, 512, 16, 64, 32, 2
+    lim = pixels // 2 - K - 1
+    uv = np.clip(rng.normal(scale=lim / 3, size=(n, 2)), -lim, lim
+                 ).astype(np.int16)
+    sub = rng.integers(0, 8, size=(n, 2)).astype(np.int16)
+    wpl = rng.integers(0, 32, size=n).astype(np.int16)
+    NC = mxu_gridder.plan_chunks_tiled_count(
+        uv, pixels=pixels, kernel_width=K, ts=ts, mc=mc) + 1
+    outs = dict(out_uv=np.zeros((NC, mc, 2), np.int32),
+                out_sub=np.zeros((NC, mc, 2), np.int32),
+                out_wp=np.zeros((NC, mc), np.int32),
+                out_anchor=np.zeros((NC, 2), np.int32),
+                out_valid=np.zeros((NC, mc), bool))
+    _, rc, rs = native.pack_slice_coords(
+        uv, sub, wpl, pixels=pixels, kernel_width=K, ts=ts, mc=mc, **outs)
+
+    wt = rng.uniform(0.5, 2.0, size=(n, P)).astype(np.float32)
+    vis = (rng.normal(size=(n, P))
+           + 1j * rng.normal(size=(n, P))).astype(np.complex64)
+    ref_w = np.zeros((NC, mc, P), np.float32)
+    ref_v = np.zeros((NC, mc, P), np.complex64)
+    ref_w[rc, rs] = wt
+    ref_v[rc, rs] = vis
+
+    out_w = np.zeros((NC, mc, P), np.float32)
+    out_v = np.zeros((NC, mc, P), np.complex64)
+    # two blocks, like the streaming reader
+    half = n // 2
+    native.place_payload(rc[:half], rs[:half], wt[:half], vis[:half],
+                         out_w, out_v)
+    native.place_payload(rc[half:], rs[half:], wt[half:], vis[half:],
+                         out_w, out_v)
+    np.testing.assert_array_equal(out_w, ref_w)
+    np.testing.assert_array_equal(out_v, ref_v)
