@@ -207,34 +207,43 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
 
 def _predict_subtract_slices(cfg: CubeConfig, sky_lmn, sky_flux, uv, sub_uv,
                              w_plane, valid, weights, vis, uvw_scales,
-                             mid_w):
+                             mid_w, nc_slices=None):
     """On-device continuum subtraction: subtract the DFT of the sky model
     from every slice's stored (pre-weighted) visibilities (reference
     predict.py:419-439; per-channel equivalent ops/predict.py).
 
     Coordinates are dequantized at bin centres exactly as the per-channel
-    predictor does, so the subtraction is consistent with the gridder."""
+    predictor does, so the subtraction is consistent with the gridder.
+    Completely empty w-slices skip the DFT (valid masking makes the
+    subtraction a no-op there anyway)."""
     O = cfg.oversample  # noqa: E741
     uv_scale, w_scale, w_bias = (uvw_scales[0], uvw_scales[1],
                                  uvw_scales[2])
     hp = jax.lax.Precision.HIGHEST
+    if nc_slices is None:
+        nc_slices = _nc_slices_of(valid)
 
     def body(_, xs):
-        uv_s, sub_s, wp_s, val_s, wt_s, vis_s, w_mid = xs
-        u = (uv_s[..., 0].astype(jnp.float32) * O
-             + sub_s[..., 0].astype(jnp.float32) + 0.5) * uv_scale
-        v = (uv_s[..., 1].astype(jnp.float32) * O
-             + sub_s[..., 1].astype(jnp.float32) + 0.5) * uv_scale
-        w = wp_s.astype(jnp.float32) * w_scale + w_bias + w_mid
-        uvw = jnp.stack([u, v, w], axis=-1).reshape(-1, 3)  # (NC*Mc, 3)
-        phase = (-2 * jnp.pi) * jnp.matmul(uvw, sky_lmn.T, precision=hp)
-        re = jnp.matmul(jnp.cos(phase), sky_flux, precision=hp)
-        im = jnp.matmul(jnp.sin(phase), sky_flux, precision=hp)
-        pred = (re + 1j * im).reshape(vis_s.shape)
-        return None, vis_s - wt_s * pred * val_s[..., None]
+        uv_s, sub_s, wp_s, val_s, wt_s, vis_s, w_mid, nc_s = xs
+
+        def do():
+            u = (uv_s[..., 0].astype(jnp.float32) * O
+                 + sub_s[..., 0].astype(jnp.float32) + 0.5) * uv_scale
+            v = (uv_s[..., 1].astype(jnp.float32) * O
+                 + sub_s[..., 1].astype(jnp.float32) + 0.5) * uv_scale
+            w = wp_s.astype(jnp.float32) * w_scale + w_bias + w_mid
+            uvw = jnp.stack([u, v, w], axis=-1).reshape(-1, 3)  # (NC*Mc, 3)
+            phase = (-2 * jnp.pi) * jnp.matmul(uvw, sky_lmn.T, precision=hp)
+            re = jnp.matmul(jnp.cos(phase), sky_flux, precision=hp)
+            im = jnp.matmul(jnp.sin(phase), sky_flux, precision=hp)
+            pred = (re + 1j * im).reshape(vis_s.shape)
+            return vis_s - wt_s * pred * val_s[..., None]
+
+        return None, jax.lax.cond(nc_s > 0, do, lambda: vis_s)
 
     _, new_vis = jax.lax.scan(
-        body, None, (uv, sub_uv, w_plane, valid, weights, vis, mid_w))
+        body, None,
+        (uv, sub_uv, w_plane, valid, weights, vis, mid_w, nc_slices))
     return new_vis
 
 
@@ -342,7 +351,8 @@ def _channel_majors(cfg: CubeConfig, kernel, taper1d, pixel_size, mid_w,
     if sky_lmn is not None:
         vis = _predict_subtract_slices(cfg, sky_lmn, sky_flux, uv, sub_uv,
                                        w_plane, valid, weights, vis,
-                                       uvw_scales, mid_w)
+                                       uvw_scales, mid_w,
+                                       nc_slices=nc_slices)
 
     # ---- major cycles
     model = jnp.zeros((Pp, N, N), taper1d.dtype)
