@@ -53,19 +53,30 @@ from jax import lax
 def _accelerator_usable() -> bool:
     """Probe the accelerator with a tiny op IN A SUBPROCESS: the axon
     tunnel can wedge (ops hang rather than fail), and a hung probe in
-    this process would take the whole benchmark down with it."""
+    this process would take the whole benchmark down with it.
+
+    The tunnel also flaps: a transient outage at benchmark time would
+    otherwise silently record the tiny CPU-fallback workload as the
+    headline number, so retry the probe a few times before giving up
+    (bounded at ~6 minutes total)."""
     import subprocess
     import sys
+    import time as _time
 
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.ones((8, 8)))),"
             " jax.devices()[0].platform)")
-    try:
-        out = subprocess.run([sys.executable, "-c", code], timeout=240,
-                             capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        return False
-    return out.returncode == 0 and "cpu" not in out.stdout.split()[-1:]
+    for attempt in range(3):
+        if attempt:
+            _time.sleep(30)
+        try:
+            out = subprocess.run([sys.executable, "-c", code], timeout=100,
+                                 capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            continue
+        if out.returncode == 0:
+            return "cpu" not in out.stdout.split()[-1:]
+    return False
 
 
 def _pair(x: np.ndarray):
