@@ -78,9 +78,8 @@ class ChunkPlan(NamedTuple):
     weights: np.ndarray   # (C, Mc, P) float32
     anchor: np.ndarray    # (C, 2) int32: (v_row0, u_col0) grid indices of window
     valid: np.ndarray     # (C, Mc) bool
-    order: np.ndarray     # (Nvis,) permutation applied (for degrid writeback)
-    chunk_of: np.ndarray  # (Nvis,) chunk index of each reordered vis
-    slot_of: np.ndarray   # (Nvis,) slot within chunk
+    row_chunk: np.ndarray  # (Nvis,) chunk index of each ORIGINAL input row
+    row_slot: np.ndarray   # (Nvis,) slot within that chunk
 
 
 def _morton_key(vt: np.ndarray, ut: np.ndarray) -> np.ndarray:
@@ -117,8 +116,7 @@ def plan_chunks(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
                          zero((0, mc, vis.shape[1]), np.complex64),
                          zero((0, mc, vis.shape[1]), np.float32),
                          zero((0, 2), np.int32), zero((0, mc), bool),
-                         zero((0,), np.int64), zero((0,), np.int64),
-                         zero((0,), np.int64))
+                         zero((0,), np.int32), zero((0,), np.int32))
 
     u0 = uv[:, 0].astype(np.int64) - uv_bias  # first grid col of footprint
     v0 = uv[:, 1].astype(np.int64) - uv_bias  # first grid row
@@ -184,8 +182,12 @@ def plan_chunks(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
         chunk_of[s:e] = c
         slot_of[s:e] = np.arange(m)
 
+    row_chunk = np.empty(n, np.int32)
+    row_slot = np.empty(n, np.int32)
+    row_chunk[order] = chunk_of
+    row_slot[order] = slot_of
     return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, anchor, valid,
-                     order, chunk_of, slot_of)
+                     row_chunk, row_slot)
 
 
 # ---------------------------------------------------------------------------
@@ -395,12 +397,39 @@ def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
     if n == 0:
         return plan_chunks(uv, sub_uv, w_plane, vis, weights, pixels=pixels,
                            kernel_width=kernel_width, rv=ts, ru=ts, mc=mc)
+    P = vis.shape[1]
+
+    from .. import native
+    if native.available():
+        # Parallel C++ counting-sort pack (bitwise-identical layout;
+        # tests/test_native.py) — plans, orders and scatters in one pass.
+        n_padded = 1
+        while n_padded < plan_chunks_tiled_count(
+                uv, pixels=pixels, kernel_width=kernel_width, ts=ts, mc=mc):
+            n_padded *= 2
+        c_uv = np.zeros((n_padded, mc, 2), np.int32)
+        c_sub = np.zeros((n_padded, mc, 2), np.int32)
+        c_wp = np.zeros((n_padded, mc), np.int32)
+        anchor = np.zeros((n_padded, 2), np.int32)
+        valid = np.zeros((n_padded, mc), bool)
+        _, row_chunk, row_slot = native.pack_slice_coords(
+            uv, sub_uv, w_plane, pixels=pixels, kernel_width=kernel_width,
+            ts=ts, mc=mc, out_uv=c_uv, out_sub=c_sub, out_wp=c_wp,
+            out_anchor=anchor, out_valid=valid)
+        c_vis = np.zeros((n_padded, mc, P), np.complex64)
+        c_wt = np.zeros((n_padded, mc, P), np.float32)
+        native.place_payload(row_chunk, row_slot,
+                             np.ascontiguousarray(weights, np.float32),
+                             np.ascontiguousarray(vis, np.complex64),
+                             c_wt, c_vis)
+        return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, anchor, valid,
+                         row_chunk, row_slot)
+
     asg = plan_chunks_tiled_coords(uv, pixels=pixels,
                                    kernel_width=kernel_width, ts=ts, mc=mc)
     order, chunk_of, slot_of = asg["order"], asg["chunk_of"], asg["slot_of"]
     n_padded = asg["n_padded"]
 
-    P = vis.shape[1]
     c_uv = np.zeros((n_padded, mc, 2), np.int32)
     c_sub = np.zeros((n_padded, mc, 2), np.int32)
     c_wp = np.zeros((n_padded, mc), np.int32)
@@ -414,7 +443,8 @@ def plan_chunks_tiled(uv, sub_uv, w_plane, vis, weights, *, pixels: int,
     c_wt[chunk_of, slot_of] = weights[order]
 
     return ChunkPlan(c_uv, c_sub, c_wp, c_vis, c_wt, asg["anchor"],
-                     asg["valid"], order, chunk_of, slot_of)
+                     asg["valid"], asg["row_chunk"].astype(np.int32),
+                     asg["row_slot"].astype(np.int32))
 
 
 
@@ -476,9 +506,12 @@ def plan_chunks_tiled_device(uv, sub_uv, w_plane, vis, weights, *,
                                         mode="drop")
     anchor = anchor.at[chunk_of, 1].set((tu[order] * ts).astype(jnp.int32),
                                         mode="drop")
+    row_chunk = jnp.zeros((n,), jnp.int32).at[order].set(chunk_of)
+    row_slot = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot_of.astype(jnp.int32))
     return dict(uv=c_uv, sub_uv=c_sub, w_plane=c_wp, vis=c_vis,
-                weights=c_wt, anchor=anchor, valid=valid, order=order,
-                chunk_of=chunk_of, slot_of=slot_of, n_chunks=n_chunks)
+                weights=c_wt, anchor=anchor, valid=valid,
+                row_chunk=row_chunk, row_slot=row_slot, n_chunks=n_chunks)
 
 
 def _fft_pad_len(tsk: int) -> int:
@@ -1188,9 +1221,9 @@ class MxuGridder:
             weights=jnp.asarray(plan.weights),
             anchor=jnp.asarray(plan.anchor),
             valid=jnp.asarray(plan.valid),
-            order=jnp.asarray(plan.order.astype(np.int32)),
-            chunk_of=jnp.asarray(plan.chunk_of.astype(np.int32)),
-            slot_of=jnp.asarray(plan.slot_of.astype(np.int32)))
+            row_chunk=jnp.asarray(np.asarray(plan.row_chunk,
+                                             np.int32)),
+            row_slot=jnp.asarray(np.asarray(plan.row_slot, np.int32)))
 
     def chunk_vis(self, plan: ChunkPlan, vis):
         """Reorder a flat (N, P) vis array into (C, Mc, P) chunk layout.
@@ -1202,23 +1235,16 @@ class MxuGridder:
             from .. import xfer
 
             out = xfer.device_zeros(shape, jnp.complex64)
-            return out.at[jnp.asarray(plan.chunk_of),
-                          jnp.asarray(plan.slot_of)].set(
-                vis[jnp.asarray(plan.order)])
+            return out.at[jnp.asarray(plan.row_chunk),
+                          jnp.asarray(plan.row_slot)].set(vis)
         out = np.zeros(shape, np.complex64)
-        out[plan.chunk_of, plan.slot_of] = np.asarray(vis)[plan.order]
+        out[plan.row_chunk, plan.row_slot] = np.asarray(vis)
         return out
 
     def unchunk_vis(self, plan: ChunkPlan, vis_chunked, n: int):
         """Inverse of :meth:`chunk_vis` (device in, device out)."""
+        del n  # implied by the row mapping (kept for API compatibility)
         if isinstance(vis_chunked, jnp.ndarray):
-            from .. import xfer
-
-            gathered = vis_chunked[jnp.asarray(plan.chunk_of),
-                                   jnp.asarray(plan.slot_of)]
-            out = xfer.device_zeros((n, vis_chunked.shape[-1]),
-                                    jnp.complex64)
-            return out.at[jnp.asarray(plan.order)].set(gathered)
-        out = np.zeros((n, vis_chunked.shape[-1]), np.complex64)
-        out[plan.order] = np.asarray(vis_chunked)[plan.chunk_of, plan.slot_of]
-        return out
+            return vis_chunked[jnp.asarray(plan.row_chunk),
+                               jnp.asarray(plan.row_slot)]
+        return np.asarray(vis_chunked)[plan.row_chunk, plan.row_slot]

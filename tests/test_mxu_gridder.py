@@ -96,7 +96,10 @@ def test_device_plan_matches_host(clustered):
     np.testing.assert_array_equal(np.asarray(dev["weights"]), host.weights)
     # anchors agree on populated chunks (host leaves empty ones zero too)
     np.testing.assert_array_equal(np.asarray(dev["anchor"]), host.anchor)
-    np.testing.assert_array_equal(np.asarray(dev["order"]), host.order)
+    np.testing.assert_array_equal(np.asarray(dev["row_chunk"]),
+                                  host.row_chunk)
+    np.testing.assert_array_equal(np.asarray(dev["row_slot"]),
+                                  host.row_slot)
 
 
 @pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm", "onehot", "joint", "tapdict"])
@@ -286,9 +289,8 @@ def test_plan_coords_matches_full_plan():
     asg = mxu_gridder.plan_chunks_tiled_coords(
         uv, pixels=pixels, kernel_width=K, ts=ts, mc=mc)
 
-    np.testing.assert_array_equal(asg["order"], plan.order)
-    np.testing.assert_array_equal(asg["chunk_of"], plan.chunk_of)
-    np.testing.assert_array_equal(asg["slot_of"], plan.slot_of)
+    np.testing.assert_array_equal(asg["row_chunk"], plan.row_chunk)
+    np.testing.assert_array_equal(asg["row_slot"], plan.row_slot)
     np.testing.assert_array_equal(asg["anchor"], plan.anchor)
     np.testing.assert_array_equal(asg["valid"], plan.valid)
 
