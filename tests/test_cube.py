@@ -385,3 +385,38 @@ def test_cube_weights_noise_uses_weight_scale(tmp_path, monkeypatch):
     wn_scaled = run("out_b", 0.5)
     assert wn_unscaled is not None and wn_unscaled > 0
     assert wn_scaled == pytest.approx(0.5 * wn_unscaled, rel=1e-6)
+
+
+def test_cube_pipeline_iquv(tmp_path):
+    """Full-Stokes cube production path (P=4, CLEAN_SUMSQ via
+    --clean-mode IQUV): recovers the polarized test sky's per-Stokes
+    totals through the pipeline CLI (VERDICT r2 item 8's configuration,
+    exercised on the virtual mesh)."""
+    import json
+
+    from katsdpimager_tpu import pipeline
+
+    sim_path = str(tmp_path / "cube_iquv.h5")
+    freqs = 856e6 + 214e6 * (np.arange(2) + 0.5) / 2
+    simulate.make_sim_dataset(sim_path, num_antennas=16, num_times=16,
+                              num_channels=2, max_radius=800.0,
+                              frequencies=freqs)
+    outdir = str(tmp_path / "out_iquv")
+    rc = pipeline.main([
+        sim_path, outdir, "--cube", "--pixels", "256",
+        "--kernel-width", "12", "--minor", "150", "--major", "2",
+        "--loop-gain", "0.25", "--no-thumbnails",
+        "--stokes", "IQUV", "--clean-mode", "IQUV",
+    ])
+    assert rc == 0
+    with open(f"{outdir}/state.json") as f:
+        state = json.load(f)
+    truth = {p: sum(s.flux_iquv[i] for s in simulate.DEFAULT_SOURCES)
+             for i, p in enumerate("IQUV")}
+    for ch in range(2):
+        totals = state[f"stats/{ch}"]["totals"]
+        assert set(totals) == set("IQUV")
+        for pol in "IQUV":
+            # absolute tolerance on the I scale: Q/U are small and V is 0
+            assert totals[pol] == pytest.approx(
+                truth[pol], abs=0.25 * truth["I"]), (ch, pol)
