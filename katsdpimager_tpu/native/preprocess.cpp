@@ -67,16 +67,20 @@ struct ChannelConfig {
 
 constexpr int MAX_P = 4;
 
-// One cache line per record: the merge stage gathers records in sorted
-// (i.e. random) order, so a straddling record would cost two misses.
-struct alignas(64) Record {
+// Power-of-two record stride, sized to the output polarization count:
+// Stokes-I records are half a cache line (halves the transform's write
+// traffic and the merge's gather traffic), full-pol records exactly one
+// line — either way a sorted-order (random) gather never straddles.
+template <int NP>
+struct alignas(NP == 1 ? 32 : 64) RecordT {
     int16_t uv[2];
     int16_t sub_uv[2];
     int16_t w_plane;
-    float weights[MAX_P];
-    std::complex<float> vis[MAX_P];
+    float weights[NP];
+    std::complex<float> vis[NP];
 };
-static_assert(sizeof(Record) == 64, "Record must be one cache line");
+static_assert(sizeof(RecordT<1>) == 32, "P=1 record must be half a line");
+static_assert(sizeof(RecordT<4>) == 64, "P=4 record must be one line");
 
 inline void subpixel_coord(float x, int32_t oversample, int16_t &pixel,
                            int16_t &subpixel) {
@@ -175,7 +179,7 @@ struct Arena {
             return p;
         }
     };
-    Buf<Record> records;
+    Buf<uint8_t> record_bytes;   // RecordT<NP> array, cast per call
     Buf<uint64_t> keys_in;   // keys by input index (transform output)
     Buf<uint8_t> keep;
     Buf<uint64_t> keys[2];   // radix ping-pong
@@ -255,28 +259,19 @@ int radix_sort(Arena &a, size_t n, uint64_t key_or, uint64_t key_and) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns the number of merged output records (<= n), or -1 on error.
-// Outputs are written per the struct-of-arrays layout; out_slice_counts has
-// w_slices entries with per-slice record counts.
-int64_t ktpu_preprocess_channel(
+// The pipeline body, templated on the record stride (NP >= num_p).
+template <int NP>
+int64_t preprocess_impl(
     int64_t n, int32_t num_q, int32_t num_p,
-    const float *uvw,              // (n, 3)
-    const float *weights_in,       // (n, Q)
-    const float *vis_in,           // (n, Q) complex interleaved
-    const float *mueller,          // (P, Q) complex interleaved, or (n, P, Q)
-    int32_t per_vis_mueller,
+    const float *uvw, const float *weights_in, const float *vis_in,
+    const float *mueller, int32_t per_vis_mueller,
     const ChannelConfig *cfg,
-    int16_t *out_uv,               // (n, 2)
-    int16_t *out_sub_uv,           // (n, 2)
-    int16_t *out_w_plane,          // (n,)
-    float *out_weights,            // (n, P)
-    float *out_vis,                // (n, P) complex interleaved
-    int64_t *out_slice_counts)     // (w_slices,)
+    int16_t *out_uv, int16_t *out_sub_uv, int16_t *out_w_plane,
+    float *out_weights, float *out_vis, int64_t *out_slice_counts)
 {
-    if (num_p > MAX_P || num_p < 1) return -1;
-    std::lock_guard<std::mutex> guard(g_mutex);
+    using Record = RecordT<NP>;
     const auto *vis_c = reinterpret_cast<const std::complex<float> *>(vis_in);
     const auto *mueller_c = reinterpret_cast<const std::complex<float> *>(mueller);
 
@@ -289,7 +284,8 @@ int64_t ktpu_preprocess_channel(
     const int32_t kw_half = (cfg->kernel_width - 1) / 2;
 
     StageTimer timer;
-    Record *records = g_arena.records.ensure(n);
+    Record *records = reinterpret_cast<Record *>(
+        g_arena.record_bytes.ensure(size_t(n) * sizeof(Record)));
     uint64_t *keys_in = g_arena.keys_in.ensure(n);
     uint8_t *keep = g_arena.keep.ensure(n);
     for (auto &b : g_arena.keys) b.ensure(n);
@@ -313,8 +309,8 @@ int64_t ktpu_preprocess_channel(
         const std::complex<float> *M = per_vis_mueller
             ? mueller_c + i * num_p * num_q : mueller_c;
 
-        std::complex<float> xvis[MAX_P];
-        float xw[MAX_P];
+        std::complex<float> xvis[NP];
+        float xw[NP];
         for (int32_t p = 0; p < num_p; p++) {
             std::complex<float> acc(0.0f, 0.0f);
             float var = 0.0f;
@@ -488,6 +484,41 @@ int64_t ktpu_preprocess_channel(
             out_slice_counts[s] += slice_counts[t][s];
     timer.mark("merge");
     return int64_t(runs[T]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of merged output records (<= n), or -1 on error.
+// Outputs are written per the struct-of-arrays layout; out_slice_counts has
+// w_slices entries with per-slice record counts.
+int64_t ktpu_preprocess_channel(
+    int64_t n, int32_t num_q, int32_t num_p,
+    const float *uvw,              // (n, 3)
+    const float *weights_in,       // (n, Q)
+    const float *vis_in,           // (n, Q) complex interleaved
+    const float *mueller,          // (P, Q) complex interleaved, or (n, P, Q)
+    int32_t per_vis_mueller,
+    const ChannelConfig *cfg,
+    int16_t *out_uv,               // (n, 2)
+    int16_t *out_sub_uv,           // (n, 2)
+    int16_t *out_w_plane,          // (n,)
+    float *out_weights,            // (n, P)
+    float *out_vis,                // (n, P) complex interleaved
+    int64_t *out_slice_counts)     // (w_slices,)
+{
+    if (num_p > MAX_P || num_p < 1) return -1;
+    std::lock_guard<std::mutex> guard(g_mutex);
+    if (num_p == 1)
+        return preprocess_impl<1>(n, num_q, num_p, uvw, weights_in, vis_in,
+                                  mueller, per_vis_mueller, cfg, out_uv,
+                                  out_sub_uv, out_w_plane, out_weights,
+                                  out_vis, out_slice_counts);
+    return preprocess_impl<MAX_P>(n, num_q, num_p, uvw, weights_in, vis_in,
+                                  mueller, per_vis_mueller, cfg, out_uv,
+                                  out_sub_uv, out_w_plane, out_weights,
+                                  out_vis, out_slice_counts);
 }
 
 int32_t ktpu_num_threads() {
