@@ -20,18 +20,29 @@ The kernel is numerically identical to ``mxu_gridder.grid_chunks_impl``
 ``interpret=True`` is used automatically on non-TPU backends so the same
 code path is testable on CPU.
 
-STATUS (round 2): demoted to a reference/experimental path.  Mosaic now
-compiles through the axon tunnel (it failed UNIMPLEMENTED in round 1),
-but this kernel's windowed VMEM DMA requires (8, 128)-aligned dynamic
-indices and the scan-formulation plans place anchors arbitrarily, so it
-is rejected at compile time ("tile index ... divisible by the tiling").
-A redesign would need 128-aligned tile plans; a flop analysis of the
-fused alternative (in-kernel one-hot assembly: ~92M MACs/chunk at ts=64
-vs the XLA tapdict path's ~24M) shows the XLA dense path
-(``assembly="tapdict"``, 86 GGAPS measured) outperforms the projected
-fused kernel, so the XLA path remains the production TPU route.  These
-kernels stay opt-in (``KTPU_USE_PALLAS=1``) and CPU-interpretable as a
-scheduling reference.
+STATUS (round 3): redesigned for Mosaic's DMA alignment rules.  Round 2
+found the windowed VMEM DMA rejected for unaligned dynamic indices
+("tile index ... divisible by the tiling"); the round-3 formulation
+aligns every transfer without touching the chunk plan:
+
+- window ROW offsets are tile anchors (multiples of ts >= 32), already
+  sublane-aligned; window heights round up to a multiple of 8;
+- window COLUMN offsets round DOWN to a multiple of 128 and the factor
+  assembly absorbs the shift: ``_chunk_factors`` builds taps relative to
+  the ALIGNED anchor, so the misalignment d = au - au128 (a multiple of
+  ts < 128) just moves the taps d columns into a lane-aligned,
+  128-multiple-width window.  Out-of-footprint columns hold zero taps,
+  so the wider band adds exact zeros.
+
+The kernel is numerically identical to the unaligned formulation
+(asserted vs the XLA path in interpret mode); on hardware it awaits a
+tunnel window for the compile + A/B against ``assembly="tapdict"``
+(86 GGAPS).  The flop overhead of alignment at ts=64/K=60 is
+128x256 / 124x124 = 2.1x the band MACs — the bet is that VMEM-resident
+window accumulation and double-buffered factor streaming beat the XLA
+scan's HBM round-trips by more.  Stays opt-in (``KTPU_USE_PALLAS=1``);
+the whole-plan factor materialization (NC x Mc x ruk x 2 planes) also
+caps it to benchmark scope until a per-group variant lands.
 """
 
 from __future__ import annotations
@@ -43,6 +54,22 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _aligned_geom(rv: int, ru: int, K: int) -> tuple:
+    """(rvk, ruk): window height (multiple of 8) and width (multiple of
+    128, covering the worst column misalignment d_max = 128 - ru for
+    tiles narrower than a lane row)."""
+    rvk = -(-(rv + K) // 8) * 8
+    d_max = max(0, 128 - ru)
+    ruk = -(-(ru + d_max + K) // 128) * 128
+    return rvk, ruk
+
+
+def _align_anchors(anchor):
+    """Round column anchors down to the 128-lane boundary (rows are
+    already multiples of the tile size >= 32, i.e. sublane-aligned)."""
+    return jnp.stack([anchor[:, 0], (anchor[:, 1] // 128) * 128], axis=1)
 
 
 def _band_kernel(anchors_ref, vr_ref, vi_ref, ur_ref, ui_ref,
@@ -218,17 +245,24 @@ def degrid_chunks_pallas(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     assert plan_vis.shape[-1] == 1, "Pallas path currently supports 1 pol"
+    K = kernel.shape[-1]
+    rvk, ruk = _aligned_geom(rv, ru, K)
+    aligned = _align_anchors(plan_anchor)
 
     def factors(uv_c, sub_c, wp_c, anc_c, val_c):
         Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c, val_c,
-                                  pixels=pixels, rv=rv, ru=ru)
+                                  pixels=pixels, rv=rvk - K, ru=ruk - K)
         return Vt.real, Vt.imag, Utap.real, Utap.imag
 
     vtr, vti, utr, uti = jax.vmap(factors)(
-        plan_uv, plan_sub, plan_wp, plan_anchor, plan_valid)
+        plan_uv, plan_sub, plan_wp, aligned, plan_valid)
+    H, W = _plane_shape(grid.shape[1], grid.shape[2], rvk, ruk)
+    gre = jnp.zeros((H, W), jnp.float32).at[
+        :grid.shape[1], :grid.shape[2]].set(grid[0].real.astype(jnp.float32))
+    gim = jnp.zeros((H, W), jnp.float32).at[
+        :grid.shape[1], :grid.shape[2]].set(grid[0].imag.astype(jnp.float32))
     pre, pim = degrid_predict(
-        grid[0].real.astype(jnp.float32), grid[0].imag.astype(jnp.float32),
-        vtr, vti, utr, uti, plan_anchor, interpret=interpret)
+        gre, gim, vtr, vti, utr, uti, aligned, interpret=interpret)
     return jax.jit(
         lambda v, w, a, b: v - w * jax.lax.complex(a, b)[..., None
                                                          ].astype(v.dtype)
@@ -256,6 +290,12 @@ def _assemble_factors(kernel, weights_grid, uv, sub_uv, w_plane, vis,
     return jax.vmap(one)(uv, sub_uv, w_plane, vis, anchor, valid)
 
 
+def _plane_shape(rows: int, cols: int, rvk: int, ruk: int) -> tuple:
+    """HBM plane extent: covers every aligned window and keeps the array
+    itself (8, 128)-tile-shaped."""
+    return (-(-(rows + rvk) // 8) * 8, -(-(cols + ruk) // 128) * 128)
+
+
 def grid_chunks_pallas(grid, kernel, weights_grid, plan_uv, plan_sub,
                        plan_wp, plan_vis, plan_anchor, plan_valid, *,
                        pixels: int, rv: int, ru: int,
@@ -268,13 +308,21 @@ def grid_chunks_pallas(grid, kernel, weights_grid, plan_uv, plan_sub,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     assert grid.shape[0] == 1, "Pallas path currently supports 1 polarization"
+    K = kernel.shape[-1]
+    rvk, ruk = _aligned_geom(rv, ru, K)
+    aligned = _align_anchors(plan_anchor)
     vr, vi, ur, ui = _assemble_factors(
         kernel, weights_grid, plan_uv, plan_sub, plan_wp, plan_vis,
-        plan_anchor, plan_valid, pixels=pixels, rv=rv, ru=ru)
-    gre, gim = band_accumulate(
-        grid[0].real.astype(jnp.float32), grid[0].imag.astype(jnp.float32),
-        vr, vi, ur, ui, plan_anchor, interpret=interpret)
+        aligned, plan_valid, pixels=pixels, rv=rvk - K, ru=ruk - K)
+    H, W = _plane_shape(grid.shape[1], grid.shape[2], rvk, ruk)
+    gre = jnp.zeros((H, W), jnp.float32).at[
+        :grid.shape[1], :grid.shape[2]].set(grid[0].real.astype(jnp.float32))
+    gim = jnp.zeros((H, W), jnp.float32).at[
+        :grid.shape[1], :grid.shape[2]].set(grid[0].imag.astype(jnp.float32))
+    gre, gim = band_accumulate(gre, gim, vr, vi, ur, ui, aligned,
+                               interpret=interpret)
     combined = jax.jit(
         lambda a, b: jax.lax.complex(a, b)[None].astype(grid.dtype)
-    )(gre, gim)
+    )(gre[:grid.shape[1], :grid.shape[2]],
+      gim[:grid.shape[1], :grid.shape[2]])
     return combined

@@ -98,3 +98,31 @@ def test_degrid_matches_xla_path():
         jnp.asarray(plan.valid), pixels=pixels, rv=rv, ru=ru,
         interpret=True))
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_matches_xla_path_production_tile():
+    """ts=64 geometry: column anchors alternate between 128-aligned and
+    64-misaligned, exercising both branches of the aligned-window shift
+    (the Mosaic-legal round-3 formulation)."""
+    rng = np.random.default_rng(13)
+    kernel, uv, sub, wp, vis, wg = make_case(rng, pixels=512, K=20, n=600)
+    pixels, K = wg.shape[-1], kernel.shape[-1]
+    rv = ru = 64
+    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=K, num_pols=1,
+                               rv=rv, ru=ru, mc=64)
+    plan = g.plan(uv, sub, wp, vis, np.ones_like(vis, np.float32))
+    # both alignment branches must actually occur in the plan
+    cols = np.asarray(plan.anchor)[np.asarray(plan.valid).any(axis=1), 1]
+    assert (cols % 128 == 0).any() and (cols % 128 == 64).any()
+
+    args = (jnp.asarray(kernel), jnp.asarray(wg),
+            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+            jnp.asarray(plan.w_plane), jnp.asarray(plan.vis),
+            jnp.asarray(plan.anchor), jnp.asarray(plan.valid))
+    expected = np.asarray(mxu_gridder.grid_chunks(
+        jnp.zeros((1, pixels + rv, pixels + ru), jnp.complex64),
+        *args, pixels=pixels, rv=rv, ru=ru))
+    out = np.asarray(pallas_gridder.grid_chunks_pallas(
+        jnp.zeros((1, pixels + rv, pixels + ru), jnp.complex64),
+        *args, pixels=pixels, rv=rv, ru=ru, interpret=True))
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
