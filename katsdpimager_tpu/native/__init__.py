@@ -115,6 +115,24 @@ def _i16ptr(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
 
+_OUT_ARENA = {"cap": 0, "P": 0, "arrs": None}
+
+
+def _out_arena(n, P):
+    """Reusable output arrays (allocating ~n x 22 B per call pays
+    first-touch page faults every call on hosts that reclaim cold
+    pages).  Callers of :func:`preprocess_channel` must therefore copy
+    any slices they keep before the next call (the collectors do)."""
+    if _OUT_ARENA["cap"] < n or _OUT_ARENA["P"] != P:
+        _OUT_ARENA["cap"] = n
+        _OUT_ARENA["P"] = P
+        _OUT_ARENA["arrs"] = (
+            np.empty((n, 2), np.int16), np.empty((n, 2), np.int16),
+            np.empty((n,), np.int16), np.empty((n, P), np.float32),
+            np.empty((n, P), np.complex64))
+    return _OUT_ARENA["arrs"]
+
+
 def preprocess_channel(uvw, weights, vis, mueller, geometry):
     """Run the native preprocessing for one channel.
 
@@ -122,7 +140,9 @@ def preprocess_channel(uvw, weights, vis, mueller, geometry):
     geometry: a :class:`..preprocess.ChannelGeometry`.
 
     Returns a dict matching the JAX path's per-channel output (trimmed to
-    the merged count, sorted by (w_slice, v, u, sub, w_plane)).
+    the merged count, sorted by (w_slice, v, u, sub, w_plane)).  The
+    returned arrays are views of a reused arena: copy anything you keep
+    before the next call.
     """
     lib = load()
     uvw = np.ascontiguousarray(uvw, np.float32)
@@ -140,11 +160,7 @@ def preprocess_channel(uvw, weights, vis, mueller, geometry):
         w_planes=geometry.w_planes, pixels=geometry.pixels,
         kernel_width=geometry.kernel_width)
 
-    out_uv = np.empty((n, 2), np.int16)
-    out_sub = np.empty((n, 2), np.int16)
-    out_wp = np.empty((n,), np.int16)
-    out_wt = np.empty((n, P), np.float32)
-    out_vis = np.empty((n, P), np.complex64)
+    out_uv, out_sub, out_wp, out_wt, out_vis = _out_arena(n, P)
     counts = np.zeros((geometry.w_slices,), np.int64)
 
     m = lib.ktpu_preprocess_channel(
@@ -158,11 +174,10 @@ def preprocess_channel(uvw, weights, vis, mueller, geometry):
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if m < 0:
         raise RuntimeError("native preprocessing failed")
-    # Reconstruct w_slice per record from the counts (records are sorted).
-    ws = np.repeat(np.arange(geometry.w_slices, dtype=np.int16), counts)
+    assert counts.sum() == m
     return {
         "uv": out_uv[:m], "sub_uv": out_sub[:m], "w_plane": out_wp[:m],
-        "w_slice": ws, "weights": out_wt[:m], "vis": out_vis[:m],
+        "weights": out_wt[:m], "vis": out_vis[:m],
         "count": int(m), "slice_counts": counts.astype(np.int32),
     }
 

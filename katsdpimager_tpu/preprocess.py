@@ -346,17 +346,19 @@ class VisibilityCollector:
             self.num_output += int(out["count"])
 
     def _store(self, channel: int, out: dict):
-        ws = out["w_slice"]
+        # Records are sorted by w_slice; slice s occupies
+        # [start, start+counts[s]) among valid records.  The JAX path
+        # also returns the per-record w_slice; the native path derives
+        # everything from the counts (checked against count at source).
+        ws = out.get("w_slice")
         counts = out["slice_counts"]
         start = 0
-        # Records are sorted by w_slice; slice s occupies
-        # [start, start+counts[s]) among valid records.
         for s in range(self.grid_parameters[channel].w_slices):
             n = int(counts[s])
             if n == 0:
                 continue
             sl = slice(start, start + n)
-            assert np.all(ws[sl] == s)
+            assert ws is None or np.all(ws[sl] == s)
             self._buckets[channel][s].append({
                 "uv": out["uv"][sl].copy(),
                 "sub_uv": out["sub_uv"][sl].copy(),
@@ -492,7 +494,7 @@ class VisibilityCollectorHDF5(VisibilityCollector):
     def _store(self, channel, out):
         import h5py  # noqa: F401
 
-        ws = out["w_slice"]
+        ws = out.get("w_slice")
         counts = out["slice_counts"]
         start = 0
         P = self.num_pols
