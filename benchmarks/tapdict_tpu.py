@@ -41,13 +41,14 @@ from jax import lax  # noqa: E402
 
 from katsdpimager_tpu.ops import mxu_gridder  # noqa: E402
 
-PIXELS = 4096
-K = 60
-TS = 64
-MC = 256
-GROUP = 128
-N_VIS = 1 << 20
-W, O = 8, 8
+PIXELS = int(os.environ.get("TAPDICT_PIXELS", "4096"))
+K = int(os.environ.get("TAPDICT_K", "60"))
+TS = int(os.environ.get("TAPDICT_TS", "64"))
+MC = int(os.environ.get("TAPDICT_MC", "256"))
+GROUP = int(os.environ.get("TAPDICT_GROUP", "128"))
+N_VIS = 1 << int(os.environ.get("TAPDICT_NVIS_LOG2", "20"))
+W = int(os.environ.get("TAPDICT_W", "8"))
+O = 8
 
 
 def make_inputs():
@@ -73,8 +74,26 @@ def make_inputs():
     return pair(kernel), pair(plan.vis), pj
 
 
-def staged(kp, vp, pj, *, stage: str, group: int = GROUP):
-    kernel = lax.complex(kp[..., 0], kp[..., 1])
+REPEAT = int(os.environ.get("TAPDICT_REPEAT", "1"))
+
+
+def repeated(compute):
+    """Run ``compute(scale)`` REPEAT times with a carry-dependent scale so
+    XLA cannot hoist the body; the t(R) slope is the floor-free cost (the
+    tunnel dispatch floor OVERLAPS compute, so single-call subtraction
+    lies)."""
+    if REPEAT == 1:
+        return compute(jnp.float32(1.0))
+
+    def body(i, acc):
+        return acc + compute(1.0 + 1e-30 * acc)
+
+    return lax.fori_loop(0, REPEAT, body, jnp.zeros((), jnp.float32))
+
+
+def staged(kp, vp, pj, *, stage: str, group: int = GROUP,
+           scale=jnp.float32(1.0)):
+    kernel = lax.complex(kp[..., 0], kp[..., 1]) * scale
     vis = lax.complex(vp[..., 0], vp[..., 1])
     uvs, subs, wps, ancs, vals = pj
     NC = uvs.shape[0]
@@ -111,6 +130,13 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP):
         if stage == "gather":
             return jnp.sum(jnp.abs(Utap.real)) + jnp.sum(jnp.abs(Vt.real))
         sample = vis_c.T * val_c[None, :]
+        if stage in ("bandv", "scatterv"):
+            # scale folded into the V factor: no US intermediate
+            VS = jnp.conj(Vt) * sample[0][:, None]          # (Mc, width)
+            band = jnp.einsum("mr,mc->rc", VS, jnp.conj(Utap),
+                              precision=prec,
+                              preferred_element_type=jnp.complex64)
+            return band[None]
         US = sample[:, :, None] * jnp.conj(Utap)[None, :, :]
         if stage == "sample":
             return jnp.sum(jnp.abs(US.real))
@@ -127,7 +153,7 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP):
 
         return lax.fori_loop(0, ng, body, jnp.zeros((), jnp.float32))
 
-    if stage in ("band", "band128"):
+    if stage in ("band", "band128", "bandv"):
         def body(i, acc):
             xsi = tuple(lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
                         for a in (uv_g, sub_g, wp_g, vis_g, anc_g, val_g))
@@ -158,15 +184,104 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP):
     return jnp.sum(jnp.abs(T.real))
 
 
-def full(kp, vp, pj):
+def full(kp, vp, pj, scale=jnp.float32(1.0)):
     ext = mxu_gridder.dense_pad_size(PIXELS, TS)
     gpad = jnp.zeros((1, ext, ext), jnp.complex64)
     out = mxu_gridder.grid_chunks_dense_impl(
-        gpad, lax.complex(kp[..., 0], kp[..., 1]), None, pj[0], pj[1],
+        gpad, lax.complex(kp[..., 0], kp[..., 1]) * scale, None, pj[0],
+        pj[1],
         pj[2], lax.complex(vp[..., 0], vp[..., 1]), pj[3], pj[4], None,
         mxu_gridder.occupied_chunks(pj[4]),
         pixels=PIXELS, ts=TS, group=GROUP, assembly="tapdict")
     return jnp.sum(jnp.abs(out))
+
+
+def fullq(kp, vp, pj, scale=jnp.float32(1.0)):
+    """Redesign candidate: 128-wide taps (no band pad), stacked-real
+    single dot per chunk, quadrant scatter into a compact (ntq, ntq, ts,
+    2*ts) re|im tile accumulator, one reshape combine (no 4-colour
+    overlap-add)."""
+    kernel = lax.complex(kp[..., 0], kp[..., 1]) * scale
+    vis = lax.complex(vp[..., 0], vp[..., 1])
+    uvs, subs, wps, ancs, vals = pj
+    NC = uvs.shape[0]
+    TS2 = 2 * TS
+    uv_bias = (K - 1) // 2 - PIXELS // 2
+
+    kr = kernel.reshape(W * O, K)
+    rel = np.arange(TS2)[None, :] - np.arange(TS)[:, None]
+    mask_np = (rel >= 0) & (rel < K)
+    relc = np.clip(rel, 0, K - 1)
+    taps_tab = jnp.where(
+        jnp.asarray(mask_np)[None], kr[:, jnp.asarray(relc)], 0
+    ).reshape(W * O * TS, TS2)
+    taps_r = taps_tab.real
+    taps_i = taps_tab.imag
+
+    group = GROUP
+    n_groups = NC // group
+    uv_g = uvs.reshape(n_groups, group, MC, 2)
+    sub_g = subs.reshape(n_groups, group, MC, 2)
+    wp_g = wps.reshape(n_groups, group, MC)
+    vis_g = vis.reshape(n_groups, group, MC, 1)
+    anc_g = ancs.reshape(n_groups, group, 2)
+    val_g = vals.reshape(n_groups, group, MC)
+    n_chunks = mxu_gridder.occupied_chunks(pj[4])
+    ng = jnp.minimum((n_chunks + group - 1) // group, n_groups)
+
+    prec = jax.lax.Precision.HIGHEST
+    ntv = -(-PIXELS // TS) + 1
+    ntq = ntv + 1
+
+    def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
+        u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, TS - 1)
+        v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, TS - 1)
+        iu = (wp_c * O + sub_c[:, 0]) * TS + u0r
+        iv = (wp_c * O + sub_c[:, 1]) * TS + v0r
+        Ur = taps_r[iu]
+        Ui = taps_i[iu]
+        Vr = taps_r[iv]
+        Vi = taps_i[iv]
+        s = vis_c[:, 0] * val_c                      # (Mc,) complex
+        sr, si = s.real, s.imag
+        # VS = conj(V) * s
+        VSr = Vr * sr[:, None] + Vi * si[:, None]
+        VSi = Vr * si[:, None] - Vi * sr[:, None]
+        A = jnp.concatenate([VSr, VSi], axis=1)      # (Mc, 2*TS2)
+        B = jnp.concatenate([Ur, Ui], axis=1)        # (Mc, 2*TS2)
+        # band = VS^T @ conj(U): re = P00+P11, im = P10-P01
+        Pm = lax.dot_general(A, B, (((0,), (0,)), ((), ())),
+                             precision=prec,
+                             preferred_element_type=jnp.float32)
+        re = Pm[:TS2, :TS2] + Pm[TS2:, TS2:]
+        im = Pm[TS2:, :TS2] - Pm[:TS2, TS2:]
+        return re, im
+
+    def body(i, T):
+        xsi = tuple(lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+                    for a in (uv_g, sub_g, wp_g, vis_g, anc_g, val_g))
+        re, im = jax.vmap(one)(*xsi)                 # (G, TS2, TS2)
+        anc = xsi[4]
+        tv = anc[:, 0] // TS
+        tu = anc[:, 1] // TS
+        for dy in range(2):
+            for dx in range(2):
+                blk = jnp.concatenate(
+                    [re[:, dy * TS:(dy + 1) * TS, dx * TS:(dx + 1) * TS],
+                     im[:, dy * TS:(dy + 1) * TS, dx * TS:(dx + 1) * TS]],
+                    axis=-1)                         # (G, TS, 2*TS)
+                T = T.at[tv + dy, tu + dx].add(blk)
+        return T
+
+    T0 = jnp.zeros((ntq, ntq, TS, TS2), jnp.float32)
+    T = lax.fori_loop(0, ng, body, T0)
+    ext2 = ntq * TS
+    gre = T[..., :TS].transpose(0, 2, 1, 3).reshape(ext2, ext2)
+    gim = T[..., TS:].transpose(0, 2, 1, 3).reshape(ext2, ext2)
+    ext = mxu_gridder.dense_pad_size(PIXELS, TS)
+    g = jnp.zeros((1, ext, ext), jnp.complex64)
+    g = g.at[0, :ext2, :ext2].add(lax.complex(gre, gim))
+    return jnp.sum(jnp.abs(g))
 
 
 def main():
@@ -175,11 +290,22 @@ def main():
     kp, vp, pj = make_inputs()
     n_occ = int(np.asarray(mxu_gridder.occupied_chunks(pj[4])))
     for v in variants:
-        if v == "full":
-            fn = jax.jit(lambda a, b: full(a, b, pj))
+        if v == "fullarg":
+            # plan as traced jit ARGUMENTS (how the production step sees
+            # it) instead of closed-over constants
+            fn2 = jax.jit(lambda a, b, *p: repeated(
+                lambda s: full(a, b, list(p), scale=s)))
+            fn = lambda a, b: fn2(a, b, *pj)  # noqa: E731
+        elif v == "fullq":
+            fn = jax.jit(lambda a, b: repeated(
+                lambda s: fullq(a, b, pj, scale=s)))
+        elif v == "full":
+            fn = jax.jit(lambda a, b: repeated(
+                lambda s: full(a, b, pj, scale=s)))
         else:
-            fn = jax.jit(lambda a, b, v=v: staged(a, b, pj, stage=v))
-        float(fn(kp, vp))  # compile + warm
+            fn = jax.jit(lambda a, b, v=v: repeated(
+                lambda s: staged(a, b, pj, stage=v, scale=s)))
+        cks = float(fn(kp, vp))  # compile + warm
         iters = 5
         t0 = time.perf_counter()
         vals = [fn(kp, vp) for _ in range(iters)]
@@ -189,7 +315,8 @@ def main():
         ggaps = N_VIS * K * K / dt / 1e9
         print(json.dumps({"variant": v, "ms": round(dt * 1e3, 2),
                           "ggaps": round(ggaps, 1),
-                          "occupied_chunks": n_occ}))
+                          "occupied_chunks": n_occ,
+                          "checksum": cks}))
 
 
 if __name__ == "__main__":
