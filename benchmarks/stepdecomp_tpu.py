@@ -193,6 +193,10 @@ def main():
             step = unrolled(unrolleds[name])
         else:
             step = batched(variants[name])
+        # Single-channel variants process only channel 0; scale the work
+        # accounting so GGAPS and ms/chan stay comparable across variants.
+        eff_channels = 1 if name in singles else num_channels
+        eff_vis = num_vis * eff_channels // num_channels
         v = float(step(kern_p, vis_p, *rest))  # compile + warmup
         iters = 3
         t0 = time.perf_counter()
@@ -200,9 +204,9 @@ def main():
         for x in vals:
             float(x)
         dt = (time.perf_counter() - t0) / iters
-        ggaps = num_vis * cfg.kernel_width ** 2 * cfg.num_pols / dt / 1e9
+        ggaps = eff_vis * cfg.kernel_width ** 2 * cfg.num_pols / dt / 1e9
         print(f"{name:10s} {dt * 1e3:8.1f} ms  "
-              f"{dt / num_channels * 1e3:6.1f} ms/chan  "
+              f"{dt / eff_channels * 1e3:6.1f} ms/chan  "
               f"{ggaps:6.1f} GGAPS  checksum={v:.4g}", flush=True)
 
 

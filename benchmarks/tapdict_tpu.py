@@ -83,7 +83,7 @@ def repeated(compute):
     tunnel dispatch floor OVERLAPS compute, so single-call subtraction
     lies)."""
     if REPEAT == 1:
-        return compute(jnp.float32(1.0))
+        return compute(1.0)
 
     def body(i, acc):
         return acc + compute(1.0 + 1e-30 * acc)
@@ -92,7 +92,10 @@ def repeated(compute):
 
 
 def staged(kp, vp, pj, *, stage: str, group: int = GROUP,
-           scale=jnp.float32(1.0)):
+           scale=1.0):
+    # NOTE: scale defaults to a plain Python float — a jnp default would
+    # materialize a device array at import time, committing the backend
+    # (the axon tunnel) before main() runs.
     kernel = lax.complex(kp[..., 0], kp[..., 1]) * scale
     vis = lax.complex(vp[..., 0], vp[..., 1])
     uvs, subs, wps, ancs, vals = pj
@@ -184,7 +187,7 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP,
     return jnp.sum(jnp.abs(T.real))
 
 
-def full(kp, vp, pj, scale=jnp.float32(1.0)):
+def full(kp, vp, pj, scale=1.0):
     ext = mxu_gridder.dense_pad_size(PIXELS, TS)
     gpad = jnp.zeros((1, ext, ext), jnp.complex64)
     out = mxu_gridder.grid_chunks_dense_impl(
@@ -196,7 +199,7 @@ def full(kp, vp, pj, scale=jnp.float32(1.0)):
     return jnp.sum(jnp.abs(out))
 
 
-def fullq(kp, vp, pj, scale=jnp.float32(1.0)):
+def fullq(kp, vp, pj, scale=1.0):
     """Redesign candidate: 128-wide taps (no band pad), stacked-real
     single dot per chunk, quadrant scatter into a compact (ntq, ntq, ts,
     2*ts) re|im tile accumulator, one reshape combine (no 4-colour
@@ -230,8 +233,10 @@ def fullq(kp, vp, pj, scale=jnp.float32(1.0)):
     ng = jnp.minimum((n_chunks + group - 1) // group, n_groups)
 
     prec = jax.lax.Precision.HIGHEST
-    ntv = -(-PIXELS // TS) + 1
-    ntq = ntv + 1
+    # Accumulator must cover every tile the layout can anchor a chunk at:
+    # size it from the dense pad extent, not the clipped-input heuristic
+    # (OOB scatter updates are silently dropped by JAX).
+    ntq = mxu_gridder.dense_pad_size(PIXELS, TS) // TS
 
     def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
         u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, TS - 1)
@@ -312,11 +317,16 @@ def main():
         for x in vals:
             float(x)
         dt = (time.perf_counter() - t0) / iters
-        ggaps = N_VIS * K * K / dt / 1e9
+        # dt covers REPEAT inner repeats; scale the work accounting and
+        # normalize the (summed) checksum so JSON lines are comparable
+        # across TAPDICT_REPEAT settings.
+        ggaps = N_VIS * K * K * REPEAT / dt / 1e9
         print(json.dumps({"variant": v, "ms": round(dt * 1e3, 2),
+                          "ms_per_repeat": round(dt * 1e3 / REPEAT, 2),
                           "ggaps": round(ggaps, 1),
+                          "repeat": REPEAT,
                           "occupied_chunks": n_occ,
-                          "checksum": cks}))
+                          "checksum": cks / REPEAT}))
 
 
 if __name__ == "__main__":

@@ -69,13 +69,16 @@ def antialias_kernel(width: float, oversample: int, beta: float | None = None):
     """
     if beta is None:
         beta = default_beta(width)
-    hsize = int(math.ceil(0.5 * width))
-    size = 2 * hsize
-    kernel = np.empty((oversample, size), np.complex64)
-    for s in range(oversample):
-        bias = (s + 0.5) / oversample + hsize - 1
-        kernel[s, :] = kaiser_bessel(np.arange(size) - bias, width, beta)
-    return kernel
+    half = int(math.ceil(0.5 * width))
+    # Tap t (0-based) updates the grid cell at offset t - half + 1 from the
+    # visibility's integer cell; subpixel bin s places the visibility at
+    # (s + 0.5)/oversample past that cell.  The window is evaluated at the
+    # tap-minus-visibility separation.
+    tap_offsets = np.arange(1 - half, half + 1, dtype=np.float64)
+    bin_centres = (np.arange(oversample) + 0.5) / oversample
+    values = kaiser_bessel(tap_offsets[None, :] - bin_centres[:, None],
+                           width, beta)
+    return values.astype(np.complex64)
 
 
 def antialias_w_kernel(
@@ -89,39 +92,50 @@ def antialias_w_kernel(
 ):
     r"""Combined anti-aliasing + W kernel, shape (len(w), oversample, width).
 
-    Evaluates the closed-form image-space product of the anti-alias taper's
-    transform, the separable W phase, and the half-subpixel shift, then DFTs
-    to UV space on an ``image_oversample``-finer grid and crops (the
-    oversampling suppresses aliasing in the tabulated kernel).
-
-    Parameters mirror reference ``grid.py:235-334``; ``w`` is in wavelengths.
+    The continuous UV-space kernel is the Fourier transform of a closed-form
+    image-plane product (KB taper transform x separable W curvature phase),
+    so it is tabulated by sampling that product and DFT-ing: a dense DFT of
+    length ``taps * image_oversample`` approximates the continuous
+    transform, and the ``taps = width * oversample`` values the gridder
+    needs are gathered straight out of the DFT-ordered spectrum.  Behaviour
+    matches reference ``grid.py:235-334``; ``w`` is in wavelengths.
     """
     w = np.asarray(w, np.float64)
-    out_pixels = oversample * width
-    assert out_pixels % 2 == 0, "odd kernel tabulations not supported"
-    pixels = out_pixels * image_oversample
-    uv_width = width * cell_wavelengths * image_oversample
-    image_step = 1.0 / uv_width
-    l = (np.arange(pixels) - (pixels // 2)) * image_step
-    shift_by = -0.5 * cell_wavelengths / oversample
+    taps = oversample * width
+    assert taps % 2 == 0, "odd kernel tabulations not supported"
+    # DFT length: image_oversample pads the image-plane sampling so the
+    # implied UV period is image_oversample x wider than the kept band,
+    # pushing wrap-around aliases out of the tabulated kernel.
+    fine = taps * image_oversample
+    du = cell_wavelengths / oversample  # UV distance between adjacent taps
 
-    scale_l = l * cell_wavelengths
-    aa_factor = cell_wavelengths * kaiser_bessel_fourier(scale_l, antialias_width, beta)
-    l2 = l * l
-    l4 = l2 * l2
-    w_arg = np.outer(-w, -0.5 * l2 - 5.0 / 24.0 * l4)
-    phase = 2 * np.pi * (w_arg + shift_by * l)
-    image_values = aa_factor * (np.cos(phase) + 1j * np.sin(phase))
+    # Image-plane sample coordinates, generated directly in DFT ordering
+    # (fftfreq yields m/fine for integer m in [-fine/2, fine/2)); the image
+    # extent is the reciprocal of the tap spacing.
+    l = np.fft.fftfreq(fine) / du
 
-    uv_values = np.fft.fft(np.fft.ifftshift(image_values, axes=-1), axis=-1) * image_step
-    uv_values = np.concatenate(
-        (uv_values[..., -(out_pixels // 2):], uv_values[..., : out_pixels // 2]), axis=-1
-    )
-    # Sub-kernel index runs backwards relative to the tabulation order
-    # because it encodes the visibility's subpixel position, not the tap's.
-    kernel = uv_values.reshape(w.shape + (width, oversample))[..., ::-1]
-    kernel = np.swapaxes(kernel, -2, -1)
-    return np.ascontiguousarray(kernel)
+    # Closed-form image-plane factor: the KB window's continuous transform
+    # (argument in cell units), one separable axis of the small-angle W
+    # curvature sqrt(1-l^2-m^2)-1 ~ -(l^2+m^2)/2 - 5(l^4+m^4)/24, and a
+    # -du/2 linear phase so the tabulated taps land on subpixel-bin CENTRES
+    # rather than edges.
+    envelope = cell_wavelengths * kaiser_bessel_fourier(
+        l * cell_wavelengths, antialias_width, beta)
+    curvature = 0.5 * (l * l) + (5.0 / 24.0) * (l * l) * (l * l)
+    angle = 2.0 * np.pi * (np.outer(w, curvature) - (0.5 * du) * l)
+    # The 1/(fine*du) factor turns the DFT sum into the continuous-transform
+    # integral (image-plane sample spacing).
+    spectrum = np.fft.fft(envelope * np.exp(1j * angle), axis=-1) / (fine * du)
+
+    # kernel[..., s, t] is the continuous kernel at UV offset
+    # (t*oversample + oversample-1-s) - taps/2 tap steps from DC: the
+    # subpixel axis encodes the VISIBILITY's bin, so it runs opposite to
+    # the tap tabulation order.
+    sub = np.arange(oversample)
+    tap = np.arange(width)
+    offsets = (tap[None, :] * oversample
+               + (oversample - 1 - sub)[:, None] - taps // 2)
+    return np.ascontiguousarray(spectrum[..., offsets % fine])
 
 
 def plane_w_values(image_parameters, grid_parameters) -> np.ndarray:
