@@ -1,13 +1,14 @@
-"""Pallas band-accumulate gridder: TPU compile probe + A/B vs XLA dense.
+"""Fused Pallas gridder vs XLA tapdict: on-chip A/B (VERDICT r3 item 7).
 
-Round-3 aligned-window formulation (ops/pallas_gridder.py): checks that
-Mosaic accepts the kernel through the tunnel, validates numerics against
-the XLA scatter-free path on device, and times both at a production-ish
-point for the VERDICT-r2 weak-#5 decision.
+Times ``grid_chunks_dense_impl`` with ``assembly="tapdict"`` (the XLA
+default, gather-bound at 29-34 ms/1M vis) against ``assembly="pallas"``
+(the fused Mosaic kernel: VMEM factor assembly, no taps-table gathers)
+at the production point, after validating their checksums agree.
 
-Usage: python benchmarks/pallas_tpu.py [n_vis] [pixels] [K]
+Usage: python benchmarks/pallas_tpu.py [n_vis] [pixels] [K] [w_planes]
 """
 
+import json
 import os
 import sys
 import time
@@ -25,10 +26,11 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-import jax.numpy as jnp
-import numpy as np
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import lax  # noqa: E402
 
-from katsdpimager_tpu.ops import mxu_gridder, pallas_gridder
+from katsdpimager_tpu.ops import mxu_gridder  # noqa: E402
 
 
 def main() -> None:
@@ -38,9 +40,10 @@ def main() -> None:
     pixels = int(sys.argv[2]) if len(sys.argv) > 2 else (
         4096 if on_accel else 512)
     K = int(sys.argv[3]) if len(sys.argv) > 3 else (60 if on_accel else 16)
+    W = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    O, TS, MC = 8, 64, 256
 
     rng = np.random.default_rng(0)
-    W, O = 32, 8
     kernel = (rng.normal(size=(W, O, K))
               + 1j * rng.normal(size=(W, O, K))).astype(np.complex64)
     lim = pixels // 2 - K - 1
@@ -50,60 +53,53 @@ def main() -> None:
     wp = rng.integers(0, W, size=n).astype(np.int16)
     vis = (rng.normal(size=(n, 1))
            + 1j * rng.normal(size=(n, 1))).astype(np.complex64)
-    wg = np.ones((1, pixels, pixels), np.float32)
+    plan = mxu_gridder.plan_chunks_tiled(
+        uv, sub, wp, vis, np.ones((n, 1), np.float32),
+        pixels=pixels, kernel_width=K, ts=TS, mc=MC)
+    n_occ = int(np.asarray(mxu_gridder.occupied_chunks(plan.valid)))
+    print(f"n={n} pixels={pixels} K={K} W={W} "
+          f"chunks={n_occ}/{plan.uv.shape[0]}", flush=True)
 
-    ts = 64
-    g = mxu_gridder.MxuGridder(pixels=pixels, kernel_width=K, num_pols=1,
-                               rv=ts, ru=ts, mc=256)
-    plan = g.plan(uv, sub, wp, vis, np.ones_like(vis, np.float32))
-    nc = int(plan.valid.any(axis=1).sum())
-    print(f"n={n} pixels={pixels} K={K} chunks={nc}/{plan.uv.shape[0]}")
+    def pair(x):
+        return jnp.asarray(np.stack([x.real, x.imag], -1).astype(np.float32))
 
-    from katsdpimager_tpu import xfer
+    kp = pair(kernel)
+    vp = pair(np.asarray(plan.vis))
+    pj = [jnp.asarray(x) for x in (plan.uv, plan.sub_uv, plan.w_plane,
+                                   plan.anchor, plan.valid)]
+    nc = mxu_gridder.occupied_chunks(pj[4])
+    ext = mxu_gridder.dense_pad_size(pixels, TS)
 
-    kern_d = xfer.device_complex(kernel)
-    vis_d = xfer.device_complex(plan.vis)
-    uv_d, sub_d, wp_d = (jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
-                         jnp.asarray(plan.w_plane))
-    anc_d, val_d = jnp.asarray(plan.anchor), jnp.asarray(plan.valid)
-    wg_d = jnp.asarray(wg)
+    def run(assembly):
+        def f(kp, vp, *p):
+            gpad = jnp.zeros((1, ext, ext), jnp.complex64)
+            out = mxu_gridder.grid_chunks_dense_impl(
+                gpad, lax.complex(kp[..., 0], kp[..., 1]), None,
+                p[0], p[1], p[2], lax.complex(vp[..., 0], vp[..., 1]),
+                p[3], p[4], None, nc,
+                pixels=pixels, ts=TS, assembly=assembly)
+            return jnp.sum(jnp.abs(out))
 
-    def sync(x):
-        return float(jnp.sum(jnp.abs(x).astype(jnp.float32)))
+        fn = jax.jit(f)
+        cks = float(fn(kp, vp, *pj))
+        iters = 5
+        t0 = time.perf_counter()
+        vals = [fn(kp, vp, *pj) for _ in range(iters)]
+        for x in vals:
+            float(x)
+        dt = (time.perf_counter() - t0) / iters
+        ggaps = n * K * K / dt / 1e9
+        print(json.dumps({"assembly": assembly, "ms": round(dt * 1e3, 2),
+                          "ggaps": round(ggaps, 1), "checksum": cks}),
+              flush=True)
+        return cks
 
-    def run_xla():
-        ext = mxu_gridder.dense_pad_size(pixels, ts)
-        gpad = jnp.zeros((1, ext, ext), jnp.complex64)
-        out = mxu_gridder.grid_chunks_dense_impl(
-            gpad, kern_d, None, uv_d, sub_d, wp_d, vis_d, anc_d, val_d,
-            None, jnp.int32(nc), pixels=pixels, ts=ts,
-            assembly=mxu_gridder.default_assembly())
-        return out[:, :pixels, :pixels]
-
-    def run_pallas():
-        gpad = xfer.device_zeros((1, pixels + ts, pixels + ts),
-                                 jnp.complex64)
-        out = pallas_gridder.grid_chunks_pallas(
-            gpad, kern_d, wg_d, uv_d, sub_d, wp_d, vis_d, anc_d, val_d,
-            pixels=pixels, rv=ts, ru=ts, interpret=not on_accel)
-        return out[:, :pixels, :pixels]
-
-    gaps = n * K * K / 1e9
-    for name, fn in [("xla_dense", run_xla), ("pallas", run_pallas)]:
-        try:
-            t0 = time.perf_counter()
-            ref = sync(fn())
-            compile_t = time.perf_counter() - t0
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                sync(fn())
-                times.append(time.perf_counter() - t0)
-            dt = min(times)
-            print(f"{name}: {dt * 1e3:.1f} ms  {gaps / dt:.1f} GGAPS  "
-                  f"(compile+1st {compile_t:.1f}s, checksum {ref:.1f})")
-        except Exception as exc:  # compile rejection is a RESULT here
-            print(f"{name}: FAILED {type(exc).__name__}: {exc}")
+    which = [a for a in sys.argv[5:]] or ["tapdict", "pallas"]
+    sums = {a: run(a) for a in which}
+    if len(sums) > 1:
+        vals = list(sums.values())
+        rel = abs(vals[0] - vals[1]) / max(abs(vals[0]), 1e-9)
+        print(f"checksum rel diff: {rel:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,28 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP,
         jnp.asarray(mask_np)[None], kr[:, jnp.asarray(relc)], 0
     ).reshape(W * O * TS, width)
 
+    # Small UNSHIFTED table for the gather-free assembly variants: one
+    # row per (w_plane, subpixel), kernel taps at lane offset 0, padded
+    # to the band width.  W*O rows x width — TS-times smaller than
+    # taps_tab.
+    small_tab = jnp.pad(kr, ((0, 0), (0, width - K)))
+    shift_bits = max(1, (TS - 1).bit_length())
+
+    def select_shift(rows_idx, shifts):
+        """Factor rows via one-hot MXU selection from small_tab, then a
+        per-row lane shift by binary roll/select stages (no HBM gather)."""
+        onehot = (rows_idx[:, None]
+                  == jnp.arange(W * O)[None, :]).astype(jnp.float32)
+        xr = jnp.matmul(onehot, small_tab.real, precision=prec)
+        xi = jnp.matmul(onehot, small_tab.imag, precision=prec)
+        x = jax.lax.complex(xr, xi)
+        for b in range(shift_bits):
+            step = 1 << b
+            take = ((shifts >> b) & 1).astype(bool)[:, None]
+            x = jnp.where(take, jnp.roll(x, step, axis=-1), x)
+        cols = jnp.arange(width)[None, :]
+        return jnp.where(cols >= shifts[:, None], x, 0)
+
     n_groups = NC // group
     uv_g = uvs.reshape(n_groups, group, MC, 2)
     sub_g = subs.reshape(n_groups, group, MC, 2)
@@ -128,8 +150,12 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP,
     def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
         u0r = jnp.clip(uv_c[:, 0] - uv_bias - anc_c[1], 0, TS - 1)
         v0r = jnp.clip(uv_c[:, 1] - uv_bias - anc_c[0], 0, TS - 1)
-        Utap = taps_tab[(wp_c * O + sub_c[:, 0]) * TS + u0r]
-        Vt = taps_tab[(wp_c * O + sub_c[:, 1]) * TS + v0r]
+        if stage in ("bandss", "scatterss"):
+            Utap = select_shift(wp_c * O + sub_c[:, 0], u0r)
+            Vt = select_shift(wp_c * O + sub_c[:, 1], v0r)
+        else:
+            Utap = taps_tab[(wp_c * O + sub_c[:, 0]) * TS + u0r]
+            Vt = taps_tab[(wp_c * O + sub_c[:, 1]) * TS + v0r]
         if stage == "gather":
             return jnp.sum(jnp.abs(Utap.real)) + jnp.sum(jnp.abs(Vt.real))
         sample = vis_c.T * val_c[None, :]
@@ -156,7 +182,7 @@ def staged(kp, vp, pj, *, stage: str, group: int = GROUP,
 
         return lax.fori_loop(0, ng, body, jnp.zeros((), jnp.float32))
 
-    if stage in ("band", "band128", "bandv"):
+    if stage in ("band", "band128", "bandv", "bandss"):
         def body(i, acc):
             xsi = tuple(lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
                         for a in (uv_g, sub_g, wp_g, vis_g, anc_g, val_g))
@@ -291,7 +317,7 @@ def fullq(kp, vp, pj, scale=1.0):
 
 def main():
     variants = sys.argv[1:] or ["gather", "sample", "band", "band128",
-                                "scatter", "full"]
+                                "bandss", "scatterss", "scatter", "full"]
     kp, vp, pj = make_inputs()
     n_occ = int(np.asarray(mxu_gridder.occupied_chunks(pj[4])))
     for v in variants:

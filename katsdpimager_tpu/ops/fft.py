@@ -117,17 +117,15 @@ def ifft2(x, precision=jax.lax.Precision.HIGHEST):
 def use_mxu_fft() -> bool:
     """Route the imaging FFTs through the MXU four-step implementation.
 
-    Default on for TPU-class backends (where the XLA FFT custom call is
-    the bottleneck); the XLA FFT remains the CPU/test default.  Override
-    with KTPU_FFT=mxu|xla.
+    Default OFF everywhere: the round-4 on-chip A/B
+    (benchmarks/slicecost_tpu.py, v5e) measured the full grid_to_image at
+    7.64 ms (XLA FFT) vs 9.89 ms (MXU four-step) at 4k and 26.69 vs
+    31.94 ms at 8k — the raw transforms tie, but the matmul FFT blocks
+    XLA from fusing the taper/n/W-phase correction chain into the FFT
+    neighbourhood, costing extra HBM passes.  Override with
+    KTPU_FFT=mxu|xla.
     """
-    env = os.environ.get("KTPU_FFT", "").lower()
-    if env in ("mxu", "xla"):
-        return env == "mxu"
-    try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except RuntimeError:
-        return False
+    return os.environ.get("KTPU_FFT", "").lower() == "mxu"
 
 
 #: jitted helpers for benchmarking

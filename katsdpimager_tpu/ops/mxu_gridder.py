@@ -592,7 +592,18 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
       iDFT) but it moves two thirds of the flops from batched small
       matmuls into one MXU-shaped contraction; measured faster than
       ``"matmul"`` on v5e.
+    - ``"pallas"``: the fused Mosaic kernel (:mod:`.pallas_gridder`) —
+      factor assembly in VMEM (one-hot row select + binary lane rolls),
+      band matmul and slot-placed accumulation all on-chip; removes the
+      HBM taps-table gathers that bound every XLA assembly.
     """
+    if assembly == "pallas":
+        from .pallas_gridder import grid_chunks_fused
+
+        return grid_chunks_fused(
+            grid_pad, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
+            plan_vis, plan_anchor, plan_valid, dw_chunks, n_chunks,
+            pixels=pixels, ts=ts)
     if group is None:
         # Measured on v5e: small groups keep the band-scatter working set
         # down for the matmul assemblies; the iFFT path amortizes its FFT
@@ -881,9 +892,10 @@ def default_assembly() -> str:
     HBM row-gathers, not matmuls, bound the assembly stage, and the
     precomputed dictionary needs one gather per factor), iFFT
     materialization elsewhere.  Override with
-    KTPU_GRID_ASSEMBLY=fft|matmul|tapsmm|onehot|joint|tapdict."""
+    KTPU_GRID_ASSEMBLY=fft|matmul|tapsmm|onehot|joint|tapdict|pallas."""
     env = os.environ.get("KTPU_GRID_ASSEMBLY")
-    if env in ("fft", "matmul", "tapsmm", "onehot", "joint", "tapdict"):
+    if env in ("fft", "matmul", "tapsmm", "onehot", "joint", "tapdict",
+               "pallas"):
         return env
     return "tapdict" if jax.devices()[0].platform == "tpu" else "fft"
 
@@ -1132,17 +1144,6 @@ class MxuGridder:
                            kernel_width=self.K, rv=self.rv, ru=self.ru,
                            mc=self.mc)
 
-    @staticmethod
-    def _use_pallas(num_pols: int) -> bool:
-        """Opt-in Pallas kernels (KTPU_USE_PALLAS=1, TPU, single pol)."""
-        import os
-
-        import jax
-
-        return (os.environ.get("KTPU_USE_PALLAS") == "1"
-                and num_pols == 1
-                and jax.devices()[0].platform == "tpu")
-
     def grid(self, grid, kernel, weights_grid, plan: ChunkPlan,
              vis_chunked=None, dw_chunks=None):
         """Accumulate the planned chunks; ``grid`` is (P, N, N) jnp.
@@ -1155,7 +1156,7 @@ class MxuGridder:
                    else vis_chunked)
         from .. import xfer
 
-        if self.mode == "dense" and not self._use_pallas(grid.shape[0]):
+        if self.mode == "dense":
             ext = dense_pad_size(self.pixels, self.rv)
             gpad = xfer.device_pad(grid, ext - self.pixels,
                                    ext - self.pixels)
@@ -1177,14 +1178,8 @@ class MxuGridder:
                 jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
                 jnp.asarray(plan.w_plane), vis_arr,
                 jnp.asarray(plan.anchor), jnp.asarray(plan.valid))
-        if self._use_pallas(grid.shape[0]):
-            from .pallas_gridder import grid_chunks_pallas
-
-            gpad = grid_chunks_pallas(*args, pixels=self.pixels,
-                                      rv=self.rv, ru=self.ru)
-        else:
-            gpad = grid_chunks(*args, pixels=self.pixels, rv=self.rv,
-                               ru=self.ru)
+        gpad = grid_chunks(*args, pixels=self.pixels, rv=self.rv,
+                           ru=self.ru)
         return gpad[:, :self.pixels, :self.pixels]
 
     def degrid(self, grid, kernel, plan: ChunkPlan, vis_chunked):
@@ -1198,11 +1193,6 @@ class MxuGridder:
                 jnp.asarray(plan.w_plane), jnp.asarray(plan.weights),
                 vis_chunked, jnp.asarray(plan.anchor),
                 jnp.asarray(plan.valid))
-        if self._use_pallas(vis_chunked.shape[-1]):
-            from .pallas_gridder import degrid_chunks_pallas
-
-            return degrid_chunks_pallas(*args, pixels=self.pixels,
-                                        rv=self.rv, ru=self.ru)
         return degrid_chunks(*args, occupied_chunks(args[-1]),
                              pixels=self.pixels, rv=self.rv,
                              ru=self.ru, assembly=default_assembly())

@@ -1,328 +1,269 @@
-r"""Pallas TPU kernel for chunked grid accumulation.
+r"""Fused Pallas TPU gridder: VMEM factor assembly + MXU band + placed adds.
 
-The MXU gridder (:mod:`.mxu_gridder`) evaluates, per Morton chunk, a
-rank-``Mc`` matrix product ``V @ U`` and adds it into a
-``(Rv+K) x (Ru+K)`` window of the UV grid.  The XLA formulation does this
-with a ``lax.scan`` whose per-step window read-modify-write round-trips
-through HBM between iterations.  This module moves the band product and the
-window accumulation into one Pallas kernel:
+The XLA ``tapdict`` gridder (:func:`.mxu_gridder.grid_chunks_dense_impl`)
+is bound by the HBM row gathers that build its factor matrices: the
+round-4 stage decomposition measured the two taps-table gathers at
+29-34 ms of the 39 ms per 1M visibilities (4k / K=60 / v5e,
+``benchmarks/tapdict_tpu.py``), with the band matmuls at ~4 ms.  The
+shifted-tap dictionary is ``(w_planes * oversample * ts, ts+K)`` complex —
+16 MB at the production point — so the gathers stream rows from HBM at
+random-access bandwidth.
 
-- the factor matrices (assembled gather-only in XLA, split into real and
-  imaginary planes) stream through VMEM via ``BlockSpec`` — Pallas
-  double-buffers the next chunk's factors during the current matmul;
-- the complex band product runs as four real MXU matmuls in-kernel;
-- the grid stays in HBM (``pl.ANY``); each chunk's window is DMA'd into
-  VMEM scratch, accumulated, and DMA'd back.  TPU grid iterations execute
-  sequentially, so overlapping windows of consecutive chunks are safe.
+This kernel removes the table entirely.  Only the *unshifted* kernel rows
+``(w_planes * oversample, K)`` (~128 KB) live in VMEM, and each chunk's
+factor matrices are assembled on-chip:
 
-The kernel is numerically identical to ``mxu_gridder.grid_chunks_impl``
-(same factor matrices, same matmul), differing only in scheduling.
-``interpret=True`` is used automatically on non-TPU backends so the same
-code path is testable on CPU.
+- **row selection** as a one-hot MXU matmul against the VMEM table
+  (the one-hot operand is exact, the table side runs at
+  ``Precision.HIGHEST``);
+- **per-row lane shift** by the in-window offset as ``log2(ts)``
+  binary stages of ``pltpu.roll`` + select — in-register VPU work,
+  nothing materialised (the same formulation loses in XLA because each
+  stage becomes an HBM pass: 55 vs 28 ms measured);
+- **band product** ``conj(V)^T diag(s) conj(U)`` as four HIGHEST
+  ``dot_general`` contractions per polarization (grid parity:
+  reference ``grid.mako:63-196`` accumulates the identical
+  visibility x kernel-tap outer products by atomic scatter);
+- **accumulation** into the same 4-colour tile planes the XLA path
+  uses, placed by a scalar-prefetched slot index per chunk: the
+  (colour, tile) pair is unique per anchor and the Morton-sorted plan
+  visits each anchor as one consecutive run, so the output block is
+  fetched (via ``input_output_aliases``) when the slot changes,
+  accumulated in VMEM while it stays, and flushed when it moves on.
 
-STATUS (round 3): redesigned for Mosaic's DMA alignment rules.  Round 2
-found the windowed VMEM DMA rejected for unaligned dynamic indices
-("tile index ... divisible by the tiling"); the round-3 formulation
-aligns every transfer without touching the chunk plan:
+Padding chunks (the occupied-first layouts pad to capacity) route to a
+sacrificial trash slot and only copy their block through, so partial
+fills cost DMA, not compute.
 
-- window ROW offsets are tile anchors (multiples of ts >= 32), already
-  sublane-aligned; window heights round up to a multiple of 8;
-- window COLUMN offsets round DOWN to a multiple of 128 and the factor
-  assembly absorbs the shift: ``_chunk_factors`` builds taps relative to
-  the ALIGNED anchor, so the misalignment d = au - au128 (a multiple of
-  ts < 128) just moves the taps d columns into a lane-aligned,
-  128-multiple-width window.  Out-of-footprint columns hold zero taps,
-  so the wider band adds exact zeros.
+Numerics: bit-comparable to the XLA tapdict path at f32
+(``tests/test_pallas_gridder.py`` asserts agreement against the dense
+XLA gridder and the scatter oracle); Mosaic's default matmul precision
+is bf16-class (measured 5e-3), hence HIGHEST everywhere.
 
-The kernel is numerically identical to the unaligned formulation
-(asserted vs the XLA path in interpret mode); on hardware it awaits a
-tunnel window for the compile + A/B against ``assembly="tapdict"``
-(86 GGAPS).  The flop overhead of alignment at ts=64/K=60 is
-128x256 / 124x124 = 2.1x the band MACs — the bet is that VMEM-resident
-window accumulation and double-buffered factor streaming beat the XLA
-scan's HBM round-trips by more.  Stays opt-in (``KTPU_USE_PALLAS=1``);
-the whole-plan factor materialization (NC x Mc x ruk x 2 planes) also
-caps it to benchmark scope until a per-group variant lands.
+On non-TPU backends the kernel runs in interpret mode (tests); the
+dispatch in :func:`.mxu_gridder.grid_chunks_dense_impl` selects it via
+``assembly="pallas"``.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _aligned_geom(rv: int, ru: int, K: int) -> tuple:
-    """(rvk, ruk): window height (multiple of 8) and width (multiple of
-    128, covering the worst column misalignment d_max = 128 - ru for
-    tiles narrower than a lane row)."""
-    rvk = -(-(rv + K) // 8) * 8
-    d_max = max(0, 128 - ru)
-    ruk = -(-(ru + d_max + K) // 128) * 128
-    return rvk, ruk
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _align_anchors(anchor):
-    """Round column anchors down to the 128-lane boundary (rows are
-    already multiples of the tile size >= 32, i.e. sublane-aligned)."""
-    return jnp.stack([anchor[:, 0], (anchor[:, 1] // 128) * 128], axis=1)
+def _make_kernel(num_pols: int, wo: int, ts2: int, shift_bits: int,
+                 mc: int, stage: str = "full"):
+    """Build the fused kernel body for static (P, W*O, 2*ts, Mc).
 
-
-def _band_kernel(anchors_ref, vr_ref, vi_ref, ur_ref, ui_ref,
-                 gre_in, gim_in, gre_out, gim_out, scratch_re, scratch_im,
-                 sem_re, sem_im):
-    """One grid step: band = V @ U (complex), window += band."""
-    c = pl.program_id(0)
-    av = anchors_ref[c, 0]
-    au = anchors_ref[c, 1]
-
-    vr = vr_ref[0]
-    vi = vi_ref[0]
-    ur = ur_ref[0]
-    ui = ui_ref[0]
-    band_re = (jnp.dot(vr, ur, preferred_element_type=jnp.float32)
-               - jnp.dot(vi, ui, preferred_element_type=jnp.float32))
-    band_im = (jnp.dot(vr, ui, preferred_element_type=jnp.float32)
-               + jnp.dot(vi, ur, preferred_element_type=jnp.float32))
-
-    h, w = scratch_re.shape
-    read_re = pltpu.make_async_copy(
-        gre_out.at[pl.ds(av, h), pl.ds(au, w)], scratch_re, sem_re)
-    read_im = pltpu.make_async_copy(
-        gim_out.at[pl.ds(av, h), pl.ds(au, w)], scratch_im, sem_im)
-    read_re.start()
-    read_im.start()
-    read_re.wait()
-    read_im.wait()
-    scratch_re[:] = scratch_re[:] + band_re
-    scratch_im[:] = scratch_im[:] + band_im
-    write_re = pltpu.make_async_copy(
-        scratch_re, gre_out.at[pl.ds(av, h), pl.ds(au, w)], sem_re)
-    write_im = pltpu.make_async_copy(
-        scratch_im, gim_out.at[pl.ds(av, h), pl.ds(au, w)], sem_im)
-    write_re.start()
-    write_im.start()
-    write_re.wait()
-    write_im.wait()
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",),
-                   donate_argnums=(0, 1))
-def band_accumulate(gre, gim, vr, vi, ur, ui, anchors, *,
-                    interpret: bool = False):
-    """Accumulate all chunk bands into the (padded) grid planes.
-
-    gre/gim: (Npv, Npu) float32 (donated).  vr/vi: (NC, RvK, Mc);
-    ur/ui: (NC, Mc, RuK); anchors: (NC, 2) int32 window origins.
+    ``stage`` is a benchmarking knob (KTPU_PALLAS_STAGE): "noop" skips
+    all compute (measures grid/DMA overheads), "nosel" skips the one-hot
+    selection (uses raw table rows), "noshift" skips the lane shifts.
     """
-    nc, rvk, mc = vr.shape
-    ruk = ur.shape[-1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((1, rvk, mc), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec((1, rvk, mc), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rvk, ruk), jnp.float32),
-            pltpu.VMEM((rvk, ruk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        _band_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(gre.shape, jnp.float32),
-            jax.ShapeDtypeStruct(gim.shape, jnp.float32),
-        ],
-        input_output_aliases={5: 0, 6: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(anchors, vr, vi, ur, ui, gre, gim)
+
+    def kernel(slot_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
+               sre_ref, sim_ref, tabr_ref, tabi_ref,
+               accr_in, acci_in, accr_out, acci_out):
+        i = pl.program_id(0)
+        prev_slot = slot_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, slot_ref[i] != prev_slot)
+
+        @pl.when(i < n_ref[0])
+        def _():
+            if stage == "noop":
+                accr_out[0] = jnp.where(first, accr_in[0], accr_out[0])
+                acci_out[0] = jnp.where(first, acci_in[0], acci_out[0])
+                return
+
+            def factor(idx, sh):
+                """conj'd kernel row ``idx`` shifted ``sh`` lanes right."""
+                if stage == "nosel":
+                    fr = tabr_ref[:mc]
+                    fi = tabi_ref[:mc]
+                else:
+                    onehot = (idx[:, None] == lax.broadcasted_iota(
+                        jnp.int32, (mc, wo), 1)).astype(jnp.float32)
+                    fr = jnp.dot(onehot, tabr_ref[:],
+                                 preferred_element_type=jnp.float32,
+                                 precision=_HI)
+                    fi = jnp.dot(onehot, tabi_ref[:],
+                                 preferred_element_type=jnp.float32,
+                                 precision=_HI)
+                if stage != "noshift":
+                    for b in range(shift_bits):
+                        step = 1 << b
+                        take = ((sh >> b) & 1)[:, None] == 1
+                        fr = jnp.where(take, pltpu.roll(fr, step, 1), fr)
+                        fi = jnp.where(take, pltpu.roll(fi, step, 1), fi)
+                cols = lax.broadcasted_iota(jnp.int32, (mc, ts2), 1)
+                keep = cols >= sh[:, None]
+                zero = jnp.zeros((), jnp.float32)
+                return jnp.where(keep, fr, zero), jnp.where(keep, fi, zero)
+
+            ar, ai = factor(iv_ref[0, 0], sv_ref[0, 0])   # conj(Vt)
+            br, bi = factor(iu_ref[0, 0], su_ref[0, 0])   # conj(Utap)
+            dn = (((0,), (0,)), ((), ()))
+            for p in range(num_pols):
+                sr = sre_ref[0, p][:, None]
+                si = sim_ref[0, p][:, None]
+                pr = ar * sr - ai * si
+                pi = ar * si + ai * sr
+                band_re = (lax.dot_general(
+                    pr, br, dn, preferred_element_type=jnp.float32,
+                    precision=_HI)
+                    - lax.dot_general(
+                        pi, bi, dn, preferred_element_type=jnp.float32,
+                        precision=_HI))
+                band_im = (lax.dot_general(
+                    pr, bi, dn, preferred_element_type=jnp.float32,
+                    precision=_HI)
+                    + lax.dot_general(
+                        pi, br, dn, preferred_element_type=jnp.float32,
+                        precision=_HI))
+                base_r = jnp.where(first, accr_in[0, p], accr_out[0, p])
+                base_i = jnp.where(first, acci_in[0, p], acci_out[0, p])
+                accr_out[0, p] = base_r + band_re
+                acci_out[0, p] = base_i + band_im
+
+        @pl.when(i >= n_ref[0])
+        def _():
+            # Trash-slot passthrough: flushed blocks must hold defined
+            # content even when no chunk work ran.
+            accr_out[0] = accr_in[0]
+            acci_out[0] = acci_in[0]
+
+    return kernel
 
 
-def _degrid_kernel(anchors_ref, vtr_ref, vti_ref, utr_ref, uti_ref,
-                   gre_ref, gim_ref, pre_ref, pim_ref,
-                   win_re, win_im, sem_re, sem_im):
-    """One grid step of degridding: window gather -> T = Vt @ win (MXU) ->
-    per-vis tap contraction (VPU)."""
-    c = pl.program_id(0)
-    av = anchors_ref[c, 0]
-    au = anchors_ref[c, 1]
-    h, w = win_re.shape
-    read_re = pltpu.make_async_copy(
-        gre_ref.at[pl.ds(av, h), pl.ds(au, w)], win_re, sem_re)
-    read_im = pltpu.make_async_copy(
-        gim_ref.at[pl.ds(av, h), pl.ds(au, w)], win_im, sem_im)
-    read_re.start()
-    read_im.start()
-    read_re.wait()
-    read_im.wait()
+def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
+                      plan_wp, plan_vis, plan_anchor, plan_valid,
+                      dw_chunks=None, n_chunks=None, *, pixels: int,
+                      ts: int, interpret: bool | None = None):
+    """Fused-Pallas twin of :func:`.mxu_gridder.grid_chunks_dense_impl`.
 
-    vtr = vtr_ref[0]
-    vti = vti_ref[0]
-    wr = win_re[:]
-    wi = win_im[:]
-    t_re = (jnp.dot(vtr, wr, preferred_element_type=jnp.float32)
-            - jnp.dot(vti, wi, preferred_element_type=jnp.float32))
-    t_im = (jnp.dot(vtr, wi, preferred_element_type=jnp.float32)
-            + jnp.dot(vti, wr, preferred_element_type=jnp.float32))
-    utr = utr_ref[0]
-    uti = uti_ref[0]
-    pre_ref[0] = jnp.sum(t_re * utr - t_im * uti, axis=-1)
-    pim_ref[0] = jnp.sum(t_re * uti + t_im * utr, axis=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def degrid_predict(gre, gim, vtr, vti, utr, uti, anchors, *,
-                   interpret: bool = False):
-    """Predict per-chunk visibilities from the padded grid planes.
-
-    gre/gim: (Npv, Npu) float32; vtr/vti: (NC, Mc, RvK) (UNconjugated
-    kernel factors); utr/uti: (NC, Mc, RuK).  Returns (pred_re, pred_im)
-    of shape (NC, Mc).
-    """
-    nc, mc, rvk = vtr.shape
-    ruk = utr.shape[-1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((1, mc, rvk), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec((1, mc, rvk), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec((1, mc, ruk), lambda c, a: (c, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, mc), lambda c, a: (c, 0)),
-            pl.BlockSpec((1, mc), lambda c, a: (c, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((rvk, ruk), jnp.float32),
-            pltpu.VMEM((rvk, ruk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        _degrid_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nc, mc), jnp.float32),
-            jax.ShapeDtypeStruct((nc, mc), jnp.float32),
-        ],
-        interpret=interpret,
-    )(anchors, vtr, vti, utr, uti, gre, gim)
-
-
-def degrid_chunks_pallas(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
-                         plan_vis, plan_anchor, plan_valid, *, pixels: int,
-                         rv: int, ru: int, interpret: bool | None = None):
-    """Drop-in single-pol replacement for ``mxu_gridder.degrid_chunks``.
-
-    ``grid`` is the PADDED (1, pixels+rv, pixels+ru) complex model grid;
-    returns updated (NC, Mc, 1) visibilities.
-    """
-    from .mxu_gridder import _chunk_factors
-
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    assert plan_vis.shape[-1] == 1, "Pallas path currently supports 1 pol"
-    K = kernel.shape[-1]
-    rvk, ruk = _aligned_geom(rv, ru, K)
-    aligned = _align_anchors(plan_anchor)
-
-    def factors(uv_c, sub_c, wp_c, anc_c, val_c):
-        Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c, val_c,
-                                  pixels=pixels, rv=rvk - K, ru=ruk - K)
-        return Vt.real, Vt.imag, Utap.real, Utap.imag
-
-    vtr, vti, utr, uti = jax.vmap(factors)(
-        plan_uv, plan_sub, plan_wp, aligned, plan_valid)
-    H, W = _plane_shape(grid.shape[1], grid.shape[2], rvk, ruk)
-    gre = jnp.zeros((H, W), jnp.float32).at[
-        :grid.shape[1], :grid.shape[2]].set(grid[0].real.astype(jnp.float32))
-    gim = jnp.zeros((H, W), jnp.float32).at[
-        :grid.shape[1], :grid.shape[2]].set(grid[0].imag.astype(jnp.float32))
-    pre, pim = degrid_predict(
-        gre, gim, vtr, vti, utr, uti, aligned, interpret=interpret)
-    return jax.jit(
-        lambda v, w, a, b: v - w * jax.lax.complex(a, b)[..., None
-                                                         ].astype(v.dtype)
-    )(plan_vis, plan_wt, pre, pim)
-
-
-def _assemble_factors(kernel, weights_grid, uv, sub_uv, w_plane, vis,
-                      anchor, valid, *, pixels: int, rv: int, ru: int):
-    """XLA gather-only factor assembly for a block of chunks (vmapped
-    version of mxu_gridder._chunk_factors, split into re/im planes)."""
-    from .mxu_gridder import _chunk_factors
-
-    def one(uv_c, sub_c, wp_c, vis_c, anc_c, val_c):
-        Vt, Utap = _chunk_factors(kernel, uv_c, sub_c, wp_c, anc_c, val_c,
-                                  pixels=pixels, rv=rv, ru=ru)
-        half = pixels // 2
-        uq = uv_c[:, 0] + half
-        vq = uv_c[:, 1] + half
-        dw = weights_grid[0, vq, uq]
-        sample = vis_c[:, 0] * dw
-        V = jnp.conj(Vt).T                          # (RvK, Mc)
-        U = sample[:, None] * jnp.conj(Utap)        # (Mc, RuK)
-        return V.real, V.imag, U.real, U.imag
-
-    return jax.vmap(one)(uv, sub_uv, w_plane, vis, anchor, valid)
-
-
-def _plane_shape(rows: int, cols: int, rvk: int, ruk: int) -> tuple:
-    """HBM plane extent: covers every aligned window and keeps the array
-    itself (8, 128)-tile-shaped."""
-    return (-(-(rows + rvk) // 8) * 8, -(-(cols + ruk) // 128) * 128)
-
-
-def grid_chunks_pallas(grid, kernel, weights_grid, plan_uv, plan_sub,
-                       plan_wp, plan_vis, plan_anchor, plan_valid, *,
-                       pixels: int, rv: int, ru: int,
-                       interpret: bool | None = None):
-    """Drop-in single-pol replacement for ``mxu_gridder.grid_chunks``:
-    factors assembled in XLA, band accumulation in the Pallas kernel.
-
-    ``grid`` is the PADDED (1, pixels+rv, pixels+ru) complex grid.
+    Same contract: ``grid_pad`` is the (P, ext, ext) complex padded
+    working grid (``dense_pad_size``); anchors tile-aligned; returns the
+    updated grid_pad.
     """
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    assert grid.shape[0] == 1, "Pallas path currently supports 1 polarization"
+        interpret = jax.default_backend() != "tpu"
     K = kernel.shape[-1]
-    rvk, ruk = _aligned_geom(rv, ru, K)
-    aligned = _align_anchors(plan_anchor)
-    vr, vi, ur, ui = _assemble_factors(
-        kernel, weights_grid, plan_uv, plan_sub, plan_wp, plan_vis,
-        aligned, plan_valid, pixels=pixels, rv=rvk - K, ru=ruk - K)
-    H, W = _plane_shape(grid.shape[1], grid.shape[2], rvk, ruk)
-    gre = jnp.zeros((H, W), jnp.float32).at[
-        :grid.shape[1], :grid.shape[2]].set(grid[0].real.astype(jnp.float32))
-    gim = jnp.zeros((H, W), jnp.float32).at[
-        :grid.shape[1], :grid.shape[2]].set(grid[0].imag.astype(jnp.float32))
-    gre, gim = band_accumulate(gre, gim, vr, vi, ur, ui, aligned,
-                               interpret=interpret)
-    combined = jax.jit(
-        lambda a, b: jax.lax.complex(a, b)[None].astype(grid.dtype)
-    )(gre[:grid.shape[1], :grid.shape[2]],
-      gim[:grid.shape[1], :grid.shape[2]])
-    return combined
+    W, O = kernel.shape[0], kernel.shape[1]
+    Np = pixels
+    Pp = grid_pad.shape[0]
+    NC, Mc = plan_wp.shape
+    TS2 = 2 * ts
+    assert K + ts - 1 <= TS2, "kernel must fit the 2-tile band window"
+    ntv = -(-Np // ts) + 1
+    nt2 = -(-ntv // 2) + 1
+    nslot = 4 * nt2 * nt2
+    shift_bits = max(1, (ts - 1).bit_length())
+    uv_bias = (K - 1) // 2 - Np // 2
+
+    iu = (plan_wp.astype(jnp.int32) * O + plan_sub[..., 0].astype(jnp.int32))
+    iv = (plan_wp.astype(jnp.int32) * O + plan_sub[..., 1].astype(jnp.int32))
+    su = jnp.clip(plan_uv[..., 0].astype(jnp.int32) - uv_bias
+                  - plan_anchor[:, None, 1], 0, ts - 1)
+    sv = jnp.clip(plan_uv[..., 1].astype(jnp.int32) - uv_bias
+                  - plan_anchor[:, None, 0], 0, ts - 1)
+
+    # sample = vis * density * valid (the XLA paths' sample_of)
+    if dw_chunks is not None:
+        dw = dw_chunks
+    elif weights_grid is not None:
+        _kb = (K - 1) // 2
+        wg_pad = jnp.pad(weights_grid, ((0, 0), (0, ts), (0, ts)))
+
+        def dw_of(anc_c, u0r, v0r):
+            zero = jnp.zeros((), anc_c.dtype)
+            win = lax.dynamic_slice(
+                wg_pad, (zero, anc_c[0] + _kb, anc_c[1] + _kb),
+                (Pp, ts, ts))
+            return win[:, v0r, u0r].T                      # (Mc, P)
+
+        dw = jax.vmap(dw_of)(plan_anchor, su, sv)
+    else:
+        dw = None
+    sample = plan_vis * plan_valid[..., None]
+    if dw is not None:
+        sample = sample * dw
+    sample = jnp.swapaxes(sample, -1, -2)                  # (NC, P, Mc)
+    sre = jnp.real(sample).astype(jnp.float32)
+    sim = jnp.imag(sample).astype(jnp.float32)
+
+    # conj'd unshifted kernel rows, zero-padded to the band width
+    kr = jnp.conj(kernel.reshape(W * O, K))
+    tabr = jnp.pad(jnp.real(kr).astype(jnp.float32),
+                   ((0, 0), (0, TS2 - K)))
+    tabi = jnp.pad(jnp.imag(kr).astype(jnp.float32),
+                   ((0, 0), (0, TS2 - K)))
+
+    tv = plan_anchor[:, 0] // ts
+    tu = plan_anchor[:, 1] // ts
+    slot = (((tv & 1) * 2 + (tu & 1)) * (nt2 * nt2)
+            + (tv >> 1) * nt2 + (tu >> 1)).astype(jnp.int32)
+    if n_chunks is None:
+        n_arr = jnp.asarray([NC], jnp.int32)
+    else:
+        n_arr = jnp.asarray(n_chunks, jnp.int32).reshape(1)
+        slot = jnp.where(jnp.arange(NC) < n_arr[0], slot, nslot)
+
+    acc_shape = (nslot + 1, Pp, TS2, TS2)
+    accr0 = jnp.zeros(acc_shape, jnp.float32)
+    acci0 = jnp.zeros(acc_shape, jnp.float32)
+
+    def im_chunk(i, slot_r, n_r):
+        return (i, 0, 0)
+
+    def im_acc(i, slot_r, n_r):
+        return (slot_r[i], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Mc), im_chunk),   # iu
+            pl.BlockSpec((1, 1, Mc), im_chunk),   # iv
+            pl.BlockSpec((1, 1, Mc), im_chunk),   # su
+            pl.BlockSpec((1, 1, Mc), im_chunk),   # sv
+            pl.BlockSpec((1, Pp, Mc), im_chunk),  # sample re
+            pl.BlockSpec((1, Pp, Mc), im_chunk),  # sample im
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table re
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table im
+            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
+            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
+            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
+        ],
+    )
+    import os
+    stage = os.environ.get("KTPU_PALLAS_STAGE", "full")
+    accr, acci = pl.pallas_call(
+        _make_kernel(Pp, W * O, TS2, shift_bits, Mc, stage),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(acc_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(acc_shape, jnp.float32)],
+        input_output_aliases={10: 0, 11: 1},
+        interpret=interpret,
+    )(slot, n_arr,
+      iu.reshape(NC, 1, Mc), iv.reshape(NC, 1, Mc),
+      su.reshape(NC, 1, Mc), sv.reshape(NC, 1, Mc),
+      sre, sim, tabr, tabi, accr0, acci0)
+
+    # Same 4-colour shifted combine as the XLA dense path.
+    T = lax.complex(accr[:nslot], acci[:nslot]).reshape(
+        2, 2, nt2, nt2, Pp, TS2, TS2).astype(grid_pad.dtype)
+    ext = nt2 * TS2
+    for a in range(2):
+        for b in range(2):
+            img = T[a, b].transpose(2, 0, 3, 1, 4).reshape(Pp, ext, ext)
+            grid_pad = grid_pad.at[:, a * ts:a * ts + ext,
+                                   b * ts:b * ts + ext].add(img)
+    return grid_pad
