@@ -340,10 +340,34 @@ def bench_predict_exact():
             unit="Mvis/s", num_vis=n, num_sources=S)
 
 
+def bench_step_1slice():
+    """The round-2/3 driver-bench workload (w_slices=1), kept as a suite
+    twin for cross-round comparability after the driver headline moved
+    to the production 4-slice shape (VERDICT r3 item 2)."""
+    from bench import run_step_bench
+    from katsdpimager_tpu.parallel.multichannel import MultiChannelConfig
+
+    if _accel():
+        cfg = MultiChannelConfig(
+            pixels=4096, num_pols=1, kernel_width=60, oversample=8,
+            w_planes=32, w_slices=1, chunks_per_slice=8192, chunk_size=256,
+            rv=64, ru=64, minor_cycles=0, weight_type="natural")
+        out = run_step_bench(cfg, 8, 1 << 20)
+    else:
+        cfg = MultiChannelConfig(
+            pixels=512, num_pols=1, kernel_width=16, oversample=8,
+            w_planes=8, w_slices=1, chunks_per_slice=256, chunk_size=128,
+            rv=32, ru=32, minor_cycles=0)
+        out = run_step_bench(cfg, 2, None)
+    out["metric"] = "step_1slice"
+    _report(**out)
+
+
 ALL = {
     "preprocess": bench_preprocess,
     "grid": bench_grid,
     "degrid": bench_degrid,
+    "step_1slice": bench_step_1slice,
     "fft": bench_fft,
     "fft_mxu": bench_fft_mxu,
     "clean": bench_clean,

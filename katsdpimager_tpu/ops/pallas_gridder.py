@@ -57,85 +57,129 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _make_kernel(num_pols: int, wo: int, ts2: int, shift_bits: int,
-                 mc: int, stage: str = "full"):
-    """Build the fused kernel body for static (P, W*O, 2*ts, Mc).
+def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
+                 nc: int, stage: str = "full"):
+    """Build the fused kernel body for static (P, W*O, 2*ts, Mc, G, NC).
 
-    ``stage`` is a benchmarking knob (KTPU_PALLAS_STAGE): "noop" skips
-    all compute (measures grid/DMA overheads), "nosel" skips the one-hot
-    selection (uses raw table rows), "noshift" skips the lane shifts.
+    One grid step processes ``gc`` chunks.  The running anchor's band sum
+    lives in VMEM scratch; at a slot-run boundary the scratch is DMA'd
+    (write-only — the plan visits each anchor as one consecutive run, so
+    every accumulator block is written exactly once) into the
+    HBM-resident colour planes at the scalar-prefetched slot index.
+
+    ``stage`` (KTPU_PALLAS_STAGE, benchmarking only): "noop" skips chunk
+    compute, "nosel" skips the one-hot selection, "noshift" skips the
+    lane gather, "noband" replaces the band dots with a cheap fill.
     """
 
     def kernel(slot_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
                sre_ref, sim_ref, tabr_ref, tabi_ref,
-               accr_in, acci_in, accr_out, acci_out):
+               accr_in, acci_in, accr_ref, acci_ref,
+               scr_re, scr_im, sem_re, sem_im):
+        del accr_in, acci_in  # aliased with the output refs
         i = pl.program_id(0)
-        prev_slot = slot_ref[jnp.maximum(i - 1, 0)]
-        first = jnp.logical_or(i == 0, slot_ref[i] != prev_slot)
+        n = n_ref[0]
 
-        @pl.when(i < n_ref[0])
-        def _():
-            if stage == "noop":
-                accr_out[0] = jnp.where(first, accr_in[0], accr_out[0])
-                acci_out[0] = jnp.where(first, acci_in[0], acci_out[0])
-                return
+        def factor(idx, sh):
+            """conj'd kernel row ``idx`` shifted ``sh`` lanes right:
+            one-hot MXU row selection + one native lane gather (the
+            roll/select ladder costs ~6x more, measured)."""
+            if stage == "nosel":
+                fr = tabr_ref[:mc]
+                fi = tabi_ref[:mc]
+            else:
+                onehot = (idx[:, None] == lax.broadcasted_iota(
+                    jnp.int32, (mc, wo), 1)).astype(jnp.float32)
+                fr = jnp.dot(onehot, tabr_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+                fi = jnp.dot(onehot, tabi_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+            cols = lax.broadcasted_iota(jnp.int32, (mc, ts2), 1)
+            src = jnp.clip(cols - sh[:, None], 0, ts2 - 1)
+            keep = cols >= sh[:, None]
+            zero = jnp.zeros((), jnp.float32)
+            if stage == "noshift":
+                fr = jnp.where(keep, fr, zero)
+                fi = jnp.where(keep, fi, zero)
+            else:
+                fr = jnp.where(keep, jnp.take_along_axis(fr, src, axis=1),
+                               zero)
+                fi = jnp.where(keep, jnp.take_along_axis(fi, src, axis=1),
+                               zero)
+            return fr, fi
 
-            def factor(idx, sh):
-                """conj'd kernel row ``idx`` shifted ``sh`` lanes right."""
-                if stage == "nosel":
-                    fr = tabr_ref[:mc]
-                    fi = tabi_ref[:mc]
-                else:
-                    onehot = (idx[:, None] == lax.broadcasted_iota(
-                        jnp.int32, (mc, wo), 1)).astype(jnp.float32)
-                    fr = jnp.dot(onehot, tabr_ref[:],
-                                 preferred_element_type=jnp.float32,
-                                 precision=_HI)
-                    fi = jnp.dot(onehot, tabi_ref[:],
-                                 preferred_element_type=jnp.float32,
-                                 precision=_HI)
-                if stage != "noshift":
-                    for b in range(shift_bits):
-                        step = 1 << b
-                        take = ((sh >> b) & 1)[:, None] == 1
-                        fr = jnp.where(take, pltpu.roll(fr, step, 1), fr)
-                        fi = jnp.where(take, pltpu.roll(fi, step, 1), fi)
-                cols = lax.broadcasted_iota(jnp.int32, (mc, ts2), 1)
-                keep = cols >= sh[:, None]
-                zero = jnp.zeros((), jnp.float32)
-                return jnp.where(keep, fr, zero), jnp.where(keep, fi, zero)
+        def _flush(cg):
+            nxt = slot_ref[jnp.minimum(cg + 1, nc - 1)]
+            boundary = jnp.logical_or(cg == n - 1, nxt != slot_ref[cg])
 
-            ar, ai = factor(iv_ref[0, 0], sv_ref[0, 0])   # conj(Vt)
-            br, bi = factor(iu_ref[0, 0], su_ref[0, 0])   # conj(Utap)
-            dn = (((0,), (0,)), ((), ()))
-            for p in range(num_pols):
-                sr = sre_ref[0, p][:, None]
-                si = sim_ref[0, p][:, None]
-                pr = ar * sr - ai * si
-                pi = ar * si + ai * sr
-                band_re = (lax.dot_general(
-                    pr, br, dn, preferred_element_type=jnp.float32,
-                    precision=_HI)
-                    - lax.dot_general(
-                        pi, bi, dn, preferred_element_type=jnp.float32,
-                        precision=_HI))
-                band_im = (lax.dot_general(
-                    pr, bi, dn, preferred_element_type=jnp.float32,
-                    precision=_HI)
-                    + lax.dot_general(
-                        pi, br, dn, preferred_element_type=jnp.float32,
-                        precision=_HI))
-                base_r = jnp.where(first, accr_in[0, p], accr_out[0, p])
-                base_i = jnp.where(first, acci_in[0, p], acci_out[0, p])
-                accr_out[0, p] = base_r + band_re
-                acci_out[0, p] = base_i + band_im
+            @pl.when(boundary)
+            def _():
+                s = slot_ref[cg]
+                cp_r = pltpu.make_async_copy(scr_re, accr_ref.at[s],
+                                             sem_re)
+                cp_i = pltpu.make_async_copy(scr_im, acci_ref.at[s],
+                                             sem_im)
+                cp_r.start()
+                cp_i.start()
+                cp_r.wait()
+                cp_i.wait()
 
-        @pl.when(i >= n_ref[0])
-        def _():
-            # Trash-slot passthrough: flushed blocks must hold defined
-            # content even when no chunk work ran.
-            accr_out[0] = accr_in[0]
-            acci_out[0] = acci_in[0]
+        for g in range(gc):
+            cg = i * gc + g
+
+            @pl.when(cg < n)
+            def _(g=g, cg=cg):
+                first = jnp.logical_or(
+                    cg == 0,
+                    slot_ref[cg] != slot_ref[jnp.maximum(cg - 1, 0)])
+                if stage == "noop":
+                    for p in range(num_pols):
+                        @pl.when(first)
+                        def _(p=p):
+                            scr_re[p] = jnp.zeros((ts2, ts2), jnp.float32)
+                            scr_im[p] = jnp.zeros((ts2, ts2), jnp.float32)
+                    _flush(cg)
+                    return
+                ar, ai = factor(iv_ref[0, g], sv_ref[0, g])   # conj(Vt)
+                br, bi = factor(iu_ref[0, g], su_ref[0, g])   # conj(Utap)
+                dn = (((0,), (0,)), ((), ()))
+                for p in range(num_pols):
+                    sr = sre_ref[0, g, p][:, None]
+                    si = sim_ref[0, g, p][:, None]
+                    pr = ar * sr - ai * si
+                    pi = ar * si + ai * sr
+                    if stage == "noband":
+                        band_re = pr[:ts2, :] + br[:ts2, :]
+                        band_im = pi[:ts2, :] + bi[:ts2, :]
+                    else:
+                        band_re = (lax.dot_general(
+                            pr, br, dn, preferred_element_type=jnp.float32,
+                            precision=_HI)
+                            - lax.dot_general(
+                                pi, bi, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=_HI))
+                        band_im = (lax.dot_general(
+                            pr, bi, dn, preferred_element_type=jnp.float32,
+                            precision=_HI)
+                            + lax.dot_general(
+                                pi, br, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=_HI))
+
+                    @pl.when(first)
+                    def _(p=p, band_re=band_re, band_im=band_im):
+                        scr_re[p] = band_re
+                        scr_im[p] = band_im
+
+                    @pl.when(jnp.logical_not(first))
+                    def _(p=p, band_re=band_re, band_im=band_im):
+                        scr_re[p] = scr_re[p] + band_re
+                        scr_im[p] = scr_im[p] + band_im
+
+                _flush(cg)
 
     return kernel
 
@@ -162,7 +206,6 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     ntv = -(-Np // ts) + 1
     nt2 = -(-ntv // 2) + 1
     nslot = 4 * nt2 * nt2
-    shift_bits = max(1, (ts - 1).bit_length())
     uv_bias = (K - 1) // 2 - Np // 2
 
     iu = (plan_wp.astype(jnp.int32) * O + plan_sub[..., 0].astype(jnp.int32))
@@ -208,57 +251,75 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     slot = (((tv & 1) * 2 + (tu & 1)) * (nt2 * nt2)
             + (tv >> 1) * nt2 + (tu >> 1)).astype(jnp.int32)
     if n_chunks is None:
-        n_arr = jnp.asarray([NC], jnp.int32)
+        # Occupied chunks only: trailing padding chunks share anchor
+        # (0, 0) and would flush zero runs OVER slot 0's real content.
+        n_arr = jnp.sum(jnp.any(plan_valid, axis=-1).astype(jnp.int32)
+                        ).reshape(1)
     else:
         n_arr = jnp.asarray(n_chunks, jnp.int32).reshape(1)
-        slot = jnp.where(jnp.arange(NC) < n_arr[0], slot, nslot)
+    slot = jnp.where(jnp.arange(NC) < n_arr[0], slot, 0)
 
-    acc_shape = (nslot + 1, Pp, TS2, TS2)
+    G = min(8, NC)
+    ng = -(-NC // G)
+    NCp = ng * G
+
+    def padc(a):
+        return jnp.pad(a, [(0, NCp - NC)] + [(0, 0)] * (a.ndim - 1))
+
+    acc_shape = (nslot, Pp, TS2, TS2)
     accr0 = jnp.zeros(acc_shape, jnp.float32)
     acci0 = jnp.zeros(acc_shape, jnp.float32)
 
     def im_chunk(i, slot_r, n_r):
         return (i, 0, 0)
 
-    def im_acc(i, slot_r, n_r):
-        return (slot_r[i], 0, 0, 0)
+    def im_chunk4(i, slot_r, n_r):
+        return (i, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(NC,),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((1, 1, Mc), im_chunk),   # iu
-            pl.BlockSpec((1, 1, Mc), im_chunk),   # iv
-            pl.BlockSpec((1, 1, Mc), im_chunk),   # su
-            pl.BlockSpec((1, 1, Mc), im_chunk),   # sv
-            pl.BlockSpec((1, Pp, Mc), im_chunk),  # sample re
-            pl.BlockSpec((1, Pp, Mc), im_chunk),  # sample im
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # table re
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # table im
-            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
-            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
+            pl.BlockSpec((1, G, Mc), im_chunk),      # iu
+            pl.BlockSpec((1, G, Mc), im_chunk),      # iv
+            pl.BlockSpec((1, G, Mc), im_chunk),      # su
+            pl.BlockSpec((1, G, Mc), im_chunk),      # sv
+            pl.BlockSpec((1, G, Pp, Mc), im_chunk4),  # sample re
+            pl.BlockSpec((1, G, Pp, Mc), im_chunk4),  # sample im
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # table re
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # table im
+            pl.BlockSpec(memory_space=pl.ANY),       # acc re (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),       # acc im (aliased)
         ],
         out_specs=[
-            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
-            pl.BlockSpec((1, Pp, TS2, TS2), im_acc),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Pp, TS2, TS2), jnp.float32),
+            pltpu.VMEM((Pp, TS2, TS2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
     )
     import os
     stage = os.environ.get("KTPU_PALLAS_STAGE", "full")
     accr, acci = pl.pallas_call(
-        _make_kernel(Pp, W * O, TS2, shift_bits, Mc, stage),
+        _make_kernel(Pp, W * O, TS2, Mc, G, NCp, stage),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(acc_shape, jnp.float32),
                    jax.ShapeDtypeStruct(acc_shape, jnp.float32)],
         input_output_aliases={10: 0, 11: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(slot, n_arr,
-      iu.reshape(NC, 1, Mc), iv.reshape(NC, 1, Mc),
-      su.reshape(NC, 1, Mc), sv.reshape(NC, 1, Mc),
-      sre, sim, tabr, tabi, accr0, acci0)
+    )(padc(slot), n_arr,
+      padc(iu).reshape(ng, G, Mc), padc(iv).reshape(ng, G, Mc),
+      padc(su).reshape(ng, G, Mc), padc(sv).reshape(ng, G, Mc),
+      padc(sre).reshape(ng, G, Pp, Mc), padc(sim).reshape(ng, G, Pp, Mc),
+      tabr, tabi, accr0, acci0)
 
     # Same 4-colour shifted combine as the XLA dense path.
-    T = lax.complex(accr[:nslot], acci[:nslot]).reshape(
+    T = lax.complex(accr, acci).reshape(
         2, 2, nt2, nt2, Pp, TS2, TS2).astype(grid_pad.dtype)
     ext = nt2 * TS2
     for a in range(2):
