@@ -8,7 +8,10 @@ reports seconds per channel per chip.  512-channel-cube throughput on a
 pod slice is ``512 / (s_per_channel / n_chips)`` assuming channel data
 parallelism (validated by the shard-invariance tests).
 
-Usage: python benchmarks/cube_bench.py [pixels] [vis_per_slice_log2]
+Usage: python benchmarks/cube_bench.py [pixels] [vis_per_slice_log2] [pols]
+
+``pols=4`` runs the full-Stokes (IQUV) wave for the BASELINE IQUV
+s/channel row (VERDICT r3 item 5).
 """
 
 import json
@@ -19,6 +22,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # jax is preloaded at interpreter startup in this session; the env
+    # var alone is too late (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
@@ -40,19 +48,20 @@ def main():
                                                         else 256)
     vps = 1 << (int(sys.argv[2]) if len(sys.argv) > 2
                 else (19 if on_accel else 12))
+    pols = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     if on_accel:
         # 16k chunk capacity: at 8k pixels the synthetic UV cloud spans
         # ~16k occupied 64-px tiles, and occupied-chunk loop bounds make
         # capacity nearly free.
-        geo = dict(num_pols=1, kernel_width=60, oversample=8, w_planes=32,
-                   w_slices=4, chunks_per_slice=16384, chunk_size=256,
-                   rv=64, ru=64)
+        geo = dict(num_pols=pols, kernel_width=60, oversample=8,
+                   w_planes=32, w_slices=4, chunks_per_slice=16384,
+                   chunk_size=256, rv=64, ru=64)
         clean = dict(majors=2, minor=1024, patch=257, psf_core=64,
                      border_pixels=pixels // 50, loop_gain=0.1)
     else:
-        geo = dict(num_pols=1, kernel_width=12, oversample=8, w_planes=4,
-                   w_slices=2, chunks_per_slice=64, chunk_size=64,
-                   rv=32, ru=32)
+        geo = dict(num_pols=pols, kernel_width=12, oversample=8,
+                   w_planes=4, w_slices=2, chunks_per_slice=64,
+                   chunk_size=64, rv=32, ru=32)
         clean = dict(majors=1, minor=32, patch=33, psf_core=32,
                      border_pixels=8, loop_gain=0.1)
 
@@ -84,6 +93,7 @@ def main():
         "unit": "s/channel/chip",
         "channels_per_s_per_chip": round(1.0 / per_channel_chip, 3),
         "pixels": pixels,
+        "num_pols": pols,
         "num_vis": num_vis,
         "majors": ccfg.majors,
         "minor": ccfg.minor,

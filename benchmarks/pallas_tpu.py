@@ -35,12 +35,18 @@ from katsdpimager_tpu.ops import mxu_gridder  # noqa: E402
 
 def main() -> None:
     on_accel = jax.devices()[0].platform != "cpu"
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else (
-        1 << 20 if on_accel else 1 << 14)
+    ns = ([int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1
+          else [(1 << 20) if on_accel else (1 << 14)])
     pixels = int(sys.argv[2]) if len(sys.argv) > 2 else (
         4096 if on_accel else 512)
     K = int(sys.argv[3]) if len(sys.argv) > 3 else (60 if on_accel else 16)
     W = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    which = [a for a in sys.argv[5:]] or ["tapdict", "pallas"]
+    for n in ns:
+        run_point(n, pixels, K, W, which)
+
+
+def run_point(n, pixels, K, W, which) -> None:
     O, TS, MC = 8, 64, 256
 
     rng = np.random.default_rng(0)
@@ -89,12 +95,12 @@ def main() -> None:
             float(x)
         dt = (time.perf_counter() - t0) / iters
         ggaps = n * K * K / dt / 1e9
-        print(json.dumps({"assembly": assembly, "ms": round(dt * 1e3, 2),
+        print(json.dumps({"assembly": assembly, "n": n,
+                          "ms": round(dt * 1e3, 2),
                           "ggaps": round(ggaps, 1), "checksum": cks}),
               flush=True)
         return cks
 
-    which = [a for a in sys.argv[5:]] or ["tapdict", "pallas"]
     sums = {a: run(a) for a in which}
     if len(sums) > 1:
         vals = list(sums.values())

@@ -598,12 +598,16 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
       HBM taps-table gathers that bound every XLA assembly.
     """
     if assembly == "pallas":
-        from .pallas_gridder import grid_chunks_fused
+        if kernel.shape[-1] + ts - 1 <= 2 * ts:
+            from .pallas_gridder import grid_chunks_fused
 
-        return grid_chunks_fused(
-            grid_pad, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
-            plan_vis, plan_anchor, plan_valid, dw_chunks, n_chunks,
-            pixels=pixels, ts=ts)
+            return grid_chunks_fused(
+                grid_pad, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
+                plan_vis, plan_anchor, plan_valid, dw_chunks, n_chunks,
+                pixels=pixels, ts=ts)
+        # Fused kernel needs the footprint inside the 2-tile band window
+        # (K <= ts + 1); wide-K/small-tile layouts fall back.
+        assembly = "tapdict"
     if group is None:
         # Measured on v5e: small groups keep the band-scatter working set
         # down for the matmul assemblies; the iFFT path amortizes its FFT
@@ -887,17 +891,19 @@ def occupied_chunks(valid) -> jnp.ndarray:
 
 
 def default_assembly() -> str:
-    """Band-assembly default: shifted-tap dictionary on TPU (v5e sweep:
-    tapdict 86 GGAPS vs matmul 59 vs fft 20 at the 4k/K=60/1M-vis point —
-    HBM row-gathers, not matmuls, bound the assembly stage, and the
-    precomputed dictionary needs one gather per factor), iFFT
-    materialization elsewhere.  Override with
+    """Band-assembly default: the fused Pallas kernel on TPU (round-4 v5e
+    A/B at 4k/K=60: pallas 35.3/64.3 ms vs tapdict 39.8/77.4 at 1M/4M vis
+    — 2.44 vs 3.17 us/chunk marginal — with f64-oracle error 1.7e-7, the
+    same f32 class; ``benchmarks/pallas_tpu.py``).  Wide-K/small-tile
+    layouts (K > ts + 1) fall back to the shifted-tap dictionary inside
+    :func:`grid_chunks_dense_impl`; iFFT materialization elsewhere.
+    Override with
     KTPU_GRID_ASSEMBLY=fft|matmul|tapsmm|onehot|joint|tapdict|pallas."""
     env = os.environ.get("KTPU_GRID_ASSEMBLY")
     if env in ("fft", "matmul", "tapsmm", "onehot", "joint", "tapdict",
                "pallas"):
         return env
-    return "tapdict" if jax.devices()[0].platform == "tpu" else "fft"
+    return "pallas" if jax.devices()[0].platform == "tpu" else "fft"
 
 
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,

@@ -73,7 +73,7 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
     """
 
     def kernel(slot_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
-               sre_ref, sim_ref, tabr_ref, tabi_ref,
+               sre_ref, sim_ref, tab_ref,
                accr_in, acci_in, accr_ref, acci_ref,
                scr_re, scr_im, sem_re, sem_im):
         del accr_in, acci_in  # aliased with the output refs
@@ -85,17 +85,22 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
             one-hot MXU row selection + one native lane gather (the
             roll/select ladder costs ~6x more, measured)."""
             if stage == "nosel":
-                fr = tabr_ref[:mc]
-                fi = tabi_ref[:mc]
+                fr = tab_ref[:mc, :ts2].astype(jnp.float32)
+                fi = tab_ref[:mc, 3 * ts2:4 * ts2].astype(jnp.float32)
             else:
+                # One-hot MXU selection, ONE wide dot per factor.  The
+                # table stacks [re_hi re_mid re_lo im_hi im_mid im_lo]
+                # along lanes as 3-way bf16 splits (hi+mid+lo == f32
+                # exactly — the HIGHEST-matmul decomposition); selection
+                # is exact because each one-hot row has a single 1.0.
                 onehot = (idx[:, None] == lax.broadcasted_iota(
-                    jnp.int32, (mc, wo), 1)).astype(jnp.float32)
-                fr = jnp.dot(onehot, tabr_ref[:],
-                             preferred_element_type=jnp.float32,
-                             precision=_HI)
-                fi = jnp.dot(onehot, tabi_ref[:],
-                             preferred_element_type=jnp.float32,
-                             precision=_HI)
+                    jnp.int32, (mc, wo), 1)).astype(jnp.bfloat16)
+                sel = jnp.dot(onehot, tab_ref[:],
+                              preferred_element_type=jnp.float32)
+                fr = (sel[:, :ts2] + sel[:, ts2:2 * ts2]
+                      + sel[:, 2 * ts2:3 * ts2])
+                fi = (sel[:, 3 * ts2:4 * ts2] + sel[:, 4 * ts2:5 * ts2]
+                      + sel[:, 5 * ts2:])
             cols = lax.broadcasted_iota(jnp.int32, (mc, ts2), 1)
             src = jnp.clip(cols - sh[:, None], 0, ts2 - 1)
             keep = cols >= sh[:, None]
@@ -144,6 +149,7 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                     return
                 ar, ai = factor(iv_ref[0, g], sv_ref[0, g])   # conj(Vt)
                 br, bi = factor(iu_ref[0, g], su_ref[0, g])   # conj(Utap)
+                bu = jnp.concatenate([br, bi], axis=1)        # (Mc, 2*ts2)
                 dn = (((0,), (0,)), ((), ()))
                 for p in range(num_pols):
                     sr = sre_ref[0, g, p][:, None]
@@ -154,20 +160,16 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                         band_re = pr[:ts2, :] + br[:ts2, :]
                         band_im = pi[:ts2, :] + bi[:ts2, :]
                     else:
-                        band_re = (lax.dot_general(
-                            pr, br, dn, preferred_element_type=jnp.float32,
+                        # All four real products in ONE stacked dot:
+                        # P = [pr; pi]^T [br; bi] -> 2x2 blocks of
+                        # (ts2, ts2); better MXU utilisation than four
+                        # 128-wide dots (measured).
+                        av = jnp.concatenate([pr, pi], axis=1)
+                        pm = lax.dot_general(
+                            av, bu, dn, preferred_element_type=jnp.float32,
                             precision=_HI)
-                            - lax.dot_general(
-                                pi, bi, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=_HI))
-                        band_im = (lax.dot_general(
-                            pr, bi, dn, preferred_element_type=jnp.float32,
-                            precision=_HI)
-                            + lax.dot_general(
-                                pi, br, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=_HI))
+                        band_re = pm[:ts2, :ts2] - pm[ts2:, ts2:]
+                        band_im = pm[:ts2, ts2:] + pm[ts2:, :ts2]
 
                     @pl.when(first)
                     def _(p=p, band_re=band_re, band_im=band_im):
@@ -239,12 +241,29 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     sre = jnp.real(sample).astype(jnp.float32)
     sim = jnp.imag(sample).astype(jnp.float32)
 
-    # conj'd unshifted kernel rows, zero-padded to the band width
+    # conj'd unshifted kernel rows, zero-padded to the band width, split
+    # 3-way into (hi, mid, lo) bf16 planes (hi + mid + lo == f32 exactly
+    # — the HIGHEST-matmul decomposition) and stacked along lanes as
+    # [re_hi re_mid re_lo im_hi im_mid im_lo] for ONE selection dot per
+    # factor in the kernel.
     kr = jnp.conj(kernel.reshape(W * O, K))
-    tabr = jnp.pad(jnp.real(kr).astype(jnp.float32),
-                   ((0, 0), (0, TS2 - K)))
-    tabi = jnp.pad(jnp.imag(kr).astype(jnp.float32),
-                   ((0, 0), (0, TS2 - K)))
+
+    def split3(x):
+        # lax.reduce_precision, NOT .astype(bf16).astype(f32): XLA's TPU
+        # simplifier folds the bf16 round-trip away (measured — the
+        # folded split leaves mid == lo == 0 and bf16-level grid error;
+        # scripts/mosaic_num_probe2.py).  reduce_precision is the
+        # rounding the compiler must preserve.
+        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, TS2 - K)))
+        hi = lax.reduce_precision(x, 8, 7)
+        r1 = x - hi
+        mid = lax.reduce_precision(r1, 8, 7)
+        lo = lax.reduce_precision(r1 - mid, 8, 7)
+        return [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+                lo.astype(jnp.bfloat16)]
+
+    tab = jnp.concatenate(split3(jnp.real(kr)) + split3(jnp.imag(kr)),
+                          axis=1)                       # (W*O, 6*TS2)
 
     tv = plan_anchor[:, 0] // ts
     tu = plan_anchor[:, 1] // ts
@@ -259,7 +278,8 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         n_arr = jnp.asarray(n_chunks, jnp.int32).reshape(1)
     slot = jnp.where(jnp.arange(NC) < n_arr[0], slot, 0)
 
-    G = min(8, NC)
+    import os
+    G = min(int(os.environ.get("KTPU_PALLAS_G", "16")), NC)
     ng = -(-NC // G)
     NCp = ng * G
 
@@ -286,8 +306,7 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             pl.BlockSpec((1, G, Mc), im_chunk),      # sv
             pl.BlockSpec((1, G, Pp, Mc), im_chunk4),  # sample re
             pl.BlockSpec((1, G, Pp, Mc), im_chunk4),  # sample im
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # table re
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # table im
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # stacked table
             pl.BlockSpec(memory_space=pl.ANY),       # acc re (aliased)
             pl.BlockSpec(memory_space=pl.ANY),       # acc im (aliased)
         ],
@@ -302,21 +321,20 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    import os
     stage = os.environ.get("KTPU_PALLAS_STAGE", "full")
     accr, acci = pl.pallas_call(
         _make_kernel(Pp, W * O, TS2, Mc, G, NCp, stage),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(acc_shape, jnp.float32),
                    jax.ShapeDtypeStruct(acc_shape, jnp.float32)],
-        input_output_aliases={10: 0, 11: 1},
+        input_output_aliases={9: 0, 10: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(padc(slot), n_arr,
       padc(iu).reshape(ng, G, Mc), padc(iv).reshape(ng, G, Mc),
       padc(su).reshape(ng, G, Mc), padc(sv).reshape(ng, G, Mc),
       padc(sre).reshape(ng, G, Pp, Mc), padc(sim).reshape(ng, G, Pp, Mc),
-      tabr, tabi, accr0, acci0)
+      tab, accr0, acci0)
 
     # Same 4-colour shifted combine as the XLA dense path.
     T = lax.complex(accr, acci).reshape(
