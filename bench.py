@@ -75,7 +75,10 @@ def _accelerator_usable() -> bool:
         if attempt:
             _time.sleep(30)
         try:
-            out = subprocess.run([sys.executable, "-c", code], timeout=100,
+            # Cold tunnel device-enumeration alone can take minutes;
+            # a tight probe timeout here silently records the CPU
+            # fallback as the headline (observed round 4).
+            out = subprocess.run([sys.executable, "-c", code], timeout=240,
                                  capture_output=True, text=True)
         except subprocess.TimeoutExpired:
             continue

@@ -47,7 +47,8 @@ def main() -> None:
 
 
 def run_point(n, pixels, K, W, which) -> None:
-    O, TS, MC = 8, 64, 256
+    O, TS = 8, 64
+    MC = int(os.environ.get("KTPU_BENCH_MC", "256"))
 
     rng = np.random.default_rng(0)
     kernel = (rng.normal(size=(W, O, K))

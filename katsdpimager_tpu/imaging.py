@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -305,6 +307,16 @@ class Imaging:
     def model_predict(self, chunk, vis, w_slice: int):
         if self._model_lmn.shape[0] == 0:
             return vis
+        # Default: the blocked MXU DFT (predict_subtract) — measured
+        # 79 Mvis/s at 1M vis x 256 sources on v5e
+        # (benchmarks/predict_tpu.py round 4).  The trig-free exact path
+        # is phase-exact but its (block, S) root-of-unity table gathers
+        # run ~300x slower on the chip (0.27 Mvis/s), so it is an
+        # opt-in accuracy tool (KTPU_PREDICT_EXACT=1); the two agree to
+        # f32 rounding.
+        if os.environ.get("KTPU_PREDICT_EXACT", "0") != "1":
+            return self.predict_chunk(chunk, vis, w_slice,
+                                      self._model_lmn, self._model_flux)
         uv, sub_uv, w_plane = self._padded_chunk(chunk)
         n = uv.shape[0]
         if isinstance(vis, jnp.ndarray):

@@ -58,14 +58,22 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
-                 nc: int, stage: str = "full"):
+                 nc: int, nt2: int, ng: int, stage: str = "full"):
     """Build the fused kernel body for static (P, W*O, 2*ts, Mc, G, NC).
 
     One grid step processes ``gc`` chunks.  The running anchor's band sum
     lives in VMEM scratch; at a slot-run boundary the scratch is DMA'd
     (write-only — the plan visits each anchor as one consecutive run, so
-    every accumulator block is written exactly once) into the
-    HBM-resident colour planes at the scalar-prefetched slot index.
+    every accumulator block is written exactly once) straight into the
+    IMAGE-LAYOUT colour planes ``(2, 2, P, nt2, TS2, nt2, TS2)`` at the
+    (colour, tile) position decoded from the scalar-prefetched slot
+    index: the XLA side then only reshapes (free) and does the four
+    shifted adds — no transpose pass.
+
+    The flush is double-buffered: two scratch accumulators alternate per
+    anchor run, the DMA for run r is waited only when run r+2 needs the
+    buffer back (an SMEM parity/pending state machine), so flushes
+    overlap the next run's band compute instead of stalling it.
 
     ``stage`` (KTPU_PALLAS_STAGE, benchmarking only): "noop" skips chunk
     compute, "nosel" skips the one-hot selection, "noshift" skips the
@@ -75,10 +83,16 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
     def kernel(slot_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
                sre_ref, sim_ref, tab_ref,
                accr_in, acci_in, accr_ref, acci_ref,
-               scr_re, scr_im, sem_re, sem_im):
+               scr_re, scr_im, state, sem_re, sem_im):
         del accr_in, acci_in  # aliased with the output refs
         i = pl.program_id(0)
         n = n_ref[0]
+
+        @pl.when(i == 0)
+        def _():
+            state[0] = 1   # first flip lands on buffer 0
+            state[1] = 0   # pending DMA on buffer 0
+            state[2] = 0   # pending DMA on buffer 1
 
         def factor(idx, sh):
             """conj'd kernel row ``idx`` shifted ``sh`` lanes right:
@@ -115,21 +129,49 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                                zero)
             return fr, fi
 
+        def _acc_dst(ref, s):
+            """Image-layout destination block for accumulator slot s."""
+            colour = s // (nt2 * nt2)
+            rem = s - colour * (nt2 * nt2)
+            tv2 = rem // nt2
+            tu2 = rem - tv2 * nt2
+            a = colour // 2
+            b = colour - a * 2
+            return ref.at[a, b, :, tv2, :, tu2, :]
+
         def _flush(cg):
             nxt = slot_ref[jnp.minimum(cg + 1, nc - 1)]
             boundary = jnp.logical_or(cg == n - 1, nxt != slot_ref[cg])
 
             @pl.when(boundary)
             def _():
+                q = state[0]
                 s = slot_ref[cg]
-                cp_r = pltpu.make_async_copy(scr_re, accr_ref.at[s],
-                                             sem_re)
-                cp_i = pltpu.make_async_copy(scr_im, acci_ref.at[s],
-                                             sem_im)
-                cp_r.start()
-                cp_i.start()
-                cp_r.wait()
-                cp_i.wait()
+                pltpu.make_async_copy(scr_re.at[q], _acc_dst(accr_ref, s),
+                                      sem_re.at[q]).start()
+                pltpu.make_async_copy(scr_im.at[q], _acc_dst(acci_ref, s),
+                                      sem_im.at[q]).start()
+                state[1 + q] = 1
+
+        def _begin_run(cg, first):
+            """On a run start: flip the buffer parity and reclaim the new
+            buffer (wait its 2-runs-ago flush) before any write."""
+
+            @pl.when(first)
+            def _():
+                q = 1 - state[0]
+                state[0] = q
+
+                @pl.when(state[1 + q] == 1)
+                def _(q=q):
+                    s = slot_ref[cg]
+                    pltpu.make_async_copy(
+                        scr_re.at[q], _acc_dst(accr_ref, s),
+                        sem_re.at[q]).wait()
+                    pltpu.make_async_copy(
+                        scr_im.at[q], _acc_dst(acci_ref, s),
+                        sem_im.at[q]).wait()
+                    state[1 + q] = 0
 
         for g in range(gc):
             cg = i * gc + g
@@ -139,12 +181,16 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                 first = jnp.logical_or(
                     cg == 0,
                     slot_ref[cg] != slot_ref[jnp.maximum(cg - 1, 0)])
+                _begin_run(cg, first)
+                q = state[0]
                 if stage == "noop":
                     for p in range(num_pols):
                         @pl.when(first)
-                        def _(p=p):
-                            scr_re[p] = jnp.zeros((ts2, ts2), jnp.float32)
-                            scr_im[p] = jnp.zeros((ts2, ts2), jnp.float32)
+                        def _(p=p, q=q):
+                            scr_re[q, p] = jnp.zeros((ts2, ts2),
+                                                     jnp.float32)
+                            scr_im[q, p] = jnp.zeros((ts2, ts2),
+                                                     jnp.float32)
                     _flush(cg)
                     return
                 ar, ai = factor(iv_ref[0, g], sv_ref[0, g])   # conj(Vt)
@@ -172,16 +218,29 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                         band_im = pm[:ts2, ts2:] + pm[ts2:, :ts2]
 
                     @pl.when(first)
-                    def _(p=p, band_re=band_re, band_im=band_im):
-                        scr_re[p] = band_re
-                        scr_im[p] = band_im
+                    def _(p=p, q=q, band_re=band_re, band_im=band_im):
+                        scr_re[q, p] = band_re
+                        scr_im[q, p] = band_im
 
                     @pl.when(jnp.logical_not(first))
-                    def _(p=p, band_re=band_re, band_im=band_im):
-                        scr_re[p] = scr_re[p] + band_re
-                        scr_im[p] = scr_im[p] + band_im
+                    def _(p=p, q=q, band_re=band_re, band_im=band_im):
+                        scr_re[q, p] = scr_re[q, p] + band_re
+                        scr_im[q, p] = scr_im[q, p] + band_im
 
                 _flush(cg)
+
+        @pl.when(i == ng - 1)
+        def _():
+            for qq in range(2):
+                @pl.when(state[1 + qq] == 1)
+                def _(qq=qq):
+                    pltpu.make_async_copy(
+                        scr_re.at[qq], _acc_dst(accr_ref, 0),
+                        sem_re.at[qq]).wait()
+                    pltpu.make_async_copy(
+                        scr_im.at[qq], _acc_dst(acci_ref, 0),
+                        sem_im.at[qq]).wait()
+                    state[1 + qq] = 0
 
     return kernel
 
@@ -286,7 +345,12 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     def padc(a):
         return jnp.pad(a, [(0, NCp - NC)] + [(0, 0)] * (a.ndim - 1))
 
-    acc_shape = (nslot, Pp, TS2, TS2)
+    # Image-layout colour planes: [a, b, P, tile-row, row, tile-col, col]
+    # — a flush DMA writes its (P, TS2, TS2) block as a strided slice, so
+    # the XLA-side combine is a FREE reshape + four shifted adds (the
+    # round-3 layout needed a 7-d transpose pass over the whole slot
+    # space every call).
+    acc_shape = (2, 2, Pp, nt2, TS2, nt2, TS2)
     accr0 = jnp.zeros(acc_shape, jnp.float32)
     acci0 = jnp.zeros(acc_shape, jnp.float32)
 
@@ -315,15 +379,16 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Pp, TS2, TS2), jnp.float32),
-            pltpu.VMEM((Pp, TS2, TS2), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, Pp, TS2, TS2), jnp.float32),
+            pltpu.VMEM((2, Pp, TS2, TS2), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     stage = os.environ.get("KTPU_PALLAS_STAGE", "full")
     accr, acci = pl.pallas_call(
-        _make_kernel(Pp, W * O, TS2, Mc, G, NCp, stage),
+        _make_kernel(Pp, W * O, TS2, Mc, G, NCp, nt2, ng, stage),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(acc_shape, jnp.float32),
                    jax.ShapeDtypeStruct(acc_shape, jnp.float32)],
@@ -336,13 +401,13 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
       padc(sre).reshape(ng, G, Pp, Mc), padc(sim).reshape(ng, G, Pp, Mc),
       tab, accr0, acci0)
 
-    # Same 4-colour shifted combine as the XLA dense path.
-    T = lax.complex(accr, acci).reshape(
-        2, 2, nt2, nt2, Pp, TS2, TS2).astype(grid_pad.dtype)
-    ext = nt2 * TS2
+    # Four shifted colour-plane adds; the planes are already in image
+    # layout so the reshape is free and XLA fuses the adds downstream.
+    ext2 = nt2 * TS2
+    planes = lax.complex(accr, acci).reshape(
+        2, 2, Pp, ext2, ext2).astype(grid_pad.dtype)
     for a in range(2):
         for b in range(2):
-            img = T[a, b].transpose(2, 0, 3, 1, 4).reshape(Pp, ext, ext)
-            grid_pad = grid_pad.at[:, a * ts:a * ts + ext,
-                                   b * ts:b * ts + ext].add(img)
+            grid_pad = grid_pad.at[:, a * ts:a * ts + ext2,
+                                   b * ts:b * ts + ext2].add(planes[a, b])
     return grid_pad
