@@ -173,9 +173,13 @@ def main():
         # fall back BEFORE any backend initializes in this process
         jax.config.update("jax_platforms", "cpu")
     if on_accel:
+        # chunks_per_slice must hold the fragmented 512k-vis slice
+        # (~5k occupied chunks at this UV spread); the round-4 value of
+        # 4096 silently thinned the workload to 262k vis/slice via
+        # make_example_batch's fragmentation fallback.
         cfg = MultiChannelConfig(
             pixels=4096, num_pols=1, kernel_width=60, oversample=8,
-            w_planes=32, w_slices=4, chunks_per_slice=4096, chunk_size=256,
+            w_planes=32, w_slices=4, chunks_per_slice=8192, chunk_size=256,
             rv=64, ru=64, minor_cycles=0, weight_type="natural")
         num_channels = 8
         vis_per_slice = 1 << 19

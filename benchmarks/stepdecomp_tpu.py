@@ -54,12 +54,15 @@ def main():
     # Production 4-W-slice shape (bench.py round 4); --w1 keeps the old
     # single-slice workload for cross-round comparability.
     slices = 1 if "--w1" in sys.argv else 4
+    mc = int(os.environ.get("KTPU_SD_MC", "256"))
     if on_accel:
+        nc_default = (8192 if slices == 1 else 4096) * 256 // mc
         cfg = MultiChannelConfig(
             pixels=4096, num_pols=1, kernel_width=60, oversample=8,
             w_planes=32, w_slices=slices,
-            chunks_per_slice=(8192 if slices == 1 else 4096),
-            chunk_size=256,
+            chunks_per_slice=int(os.environ.get("KTPU_SD_NC",
+                                                str(nc_default))),
+            chunk_size=mc,
             rv=64, ru=64, minor_cycles=0, weight_type="natural")
         num_channels = 8
         vis_per_slice = (1 << 20) if slices == 1 else (1 << 19)

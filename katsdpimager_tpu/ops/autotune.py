@@ -25,9 +25,9 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 #: (assembly, group) candidates, fastest-first by v5e measurements.
-_CANDIDATES = (("tapdict", 128), ("tapdict", 64), ("joint", 128),
-               ("onehot", 128), ("matmul", 128), ("tapsmm", 128),
-               ("fft", 2048))
+_CANDIDATES = (("pallas", 128), ("tapdict", 128), ("tapdict", 64),
+               ("joint", 128), ("onehot", 128), ("matmul", 128),
+               ("tapsmm", 128), ("fft", 2048))
 
 
 def _cache_path() -> str:
