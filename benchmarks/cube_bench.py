@@ -52,9 +52,14 @@ def main():
     if on_accel:
         # 16k chunk capacity: at 8k pixels the synthetic UV cloud spans
         # ~16k occupied 64-px tiles, and occupied-chunk loop bounds make
-        # capacity nearly free.
+        # capacity nearly free.  Full-Stokes at 8k needs a tighter
+        # layout to fit HBM (the P=4 batch payloads alone are ~5 GB at
+        # 16k capacity); KTPU_CUBE_NC overrides.
+        nc_default = 16384 if pols == 1 else 10240
         geo = dict(num_pols=pols, kernel_width=60, oversample=8,
-                   w_planes=32, w_slices=4, chunks_per_slice=16384,
+                   w_planes=32, w_slices=4,
+                   chunks_per_slice=int(os.environ.get("KTPU_CUBE_NC",
+                                                       str(nc_default))),
                    chunk_size=256, rv=64, ru=64)
         clean = dict(majors=2, minor=1024, patch=257, psf_core=64,
                      border_pixels=pixels // 50, loop_gain=0.1)

@@ -41,12 +41,14 @@ def main() -> None:
         4096 if on_accel else 512)
     K = int(sys.argv[3]) if len(sys.argv) > 3 else (60 if on_accel else 16)
     W = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    which = [a for a in sys.argv[5:]] or ["tapdict", "pallas"]
+    which = [a for a in sys.argv[5:] if not a.startswith("--")] \
+        or ["tapdict", "pallas"]
+    degrid = "--degrid" in sys.argv
     for n in ns:
-        run_point(n, pixels, K, W, which)
+        run_point(n, pixels, K, W, which, degrid)
 
 
-def run_point(n, pixels, K, W, which) -> None:
+def run_point(n, pixels, K, W, which, degrid=False) -> None:
     O, TS = 8, 64
     MC = int(os.environ.get("KTPU_BENCH_MC", "256"))
 
@@ -77,6 +79,14 @@ def run_point(n, pixels, K, W, which) -> None:
     nc = mxu_gridder.occupied_chunks(pj[4])
     ext = mxu_gridder.dense_pad_size(pixels, TS)
 
+    if degrid:
+        rngg = np.random.default_rng(1)
+        gsrc = (rngg.normal(size=(1, pixels + TS, pixels + TS))
+                + 1j * rngg.normal(size=(1, pixels + TS, pixels + TS))
+                ).astype(np.complex64)
+        gp = pair(gsrc)
+        wtj = jnp.asarray(np.asarray(plan.weights))
+
     def run(assembly):
         def f(kp, vp, *p):
             gpad = jnp.zeros((1, ext, ext), jnp.complex64)
@@ -87,11 +97,27 @@ def run_point(n, pixels, K, W, which) -> None:
                 pixels=pixels, ts=TS, assembly=assembly)
             return jnp.sum(jnp.abs(out))
 
-        fn = jax.jit(f)
-        cks = float(fn(kp, vp, *pj))
+        def f_degrid(kp, vp, gp, wtj, *p):
+            out = mxu_gridder.degrid_chunks_impl(
+                lax.complex(gp[..., 0], gp[..., 1]),
+                lax.complex(kp[..., 0], kp[..., 1]),
+                p[0], p[1], p[2], wtj,
+                lax.complex(vp[..., 0], vp[..., 1]),
+                p[3], p[4], nc,
+                pixels=pixels, rv=TS, ru=TS, assembly=assembly)
+            return jnp.sum(jnp.abs(out))
+
+        if degrid:
+            fn = jax.jit(f_degrid)
+            args = (kp, vp, gp, wtj, *pj)
+        else:
+            fn = jax.jit(f)
+            args = (kp, vp, *pj)
+
+        cks = float(fn(*args))
         iters = 5
         t0 = time.perf_counter()
-        vals = [fn(kp, vp, *pj) for _ in range(iters)]
+        vals = [fn(*args) for _ in range(iters)]
         for x in vals:
             float(x)
         dt = (time.perf_counter() - t0) / iters

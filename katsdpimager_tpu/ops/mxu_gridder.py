@@ -598,15 +598,23 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
       HBM taps-table gathers that bound every XLA assembly.
     """
     if assembly == "pallas":
-        if kernel.shape[-1] + ts - 1 <= 2 * ts:
+        # The fused kernel needs (a) the footprint inside the 2-tile
+        # band window (K <= ts + 1) and (b) HBM headroom for its f32
+        # colour-plane accumulators (4 * P * ext2^2 * 4 B * 2); at
+        # 8k / IQUV that is ~9 GB, more than half the chip.  Oversize
+        # or wide-K layouts fall back to the XLA shifted-tap path.
+        ntv = -(-pixels // ts) + 1
+        nt2 = -(-ntv // 2) + 1
+        ext2 = nt2 * 2 * ts
+        acc_gb = 4 * grid_pad.shape[0] * ext2 * ext2 * 4 * 2 / 1e9
+        max_gb = float(os.environ.get("KTPU_PALLAS_MAX_ACC_GB", "4.0"))
+        if kernel.shape[-1] + ts - 1 <= 2 * ts and acc_gb <= max_gb:
             from .pallas_gridder import grid_chunks_fused
 
             return grid_chunks_fused(
                 grid_pad, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
                 plan_vis, plan_anchor, plan_valid, dw_chunks, n_chunks,
                 pixels=pixels, ts=ts)
-        # Fused kernel needs the footprint inside the 2-tile band window
-        # (K <= ts + 1); wide-K/small-tile layouts fall back.
         assembly = "tapdict"
     if group is None:
         # Measured on v5e: small groups keep the band-scatter working set
@@ -921,6 +929,19 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     (occupied-first layouts); unprocessed padding chunks pass their vis
     through unchanged.
     """
+    if assembly == "pallas":
+        # Fused Mosaic degrid (tile-aligned plans only — anchors from
+        # plan_chunks_tiled with offsets in [0, ts)); same window
+        # constraint as the grid kernel.
+        if rv == ru and kernel.shape[-1] + rv - 1 <= 2 * rv:
+            from .pallas_gridder import degrid_chunks_fused
+
+            pred = degrid_chunks_fused(
+                grid, kernel, plan_uv, plan_sub, plan_wp, plan_anchor,
+                n_chunks, pixels=pixels, ts=rv)
+            pred = pred * plan_valid[..., None]
+            return plan_vis - plan_wt * pred.astype(plan_vis.dtype)
+        assembly = "tapdict"
     if group is None:
         group = 128 if assembly != "fft" else 512
     K = kernel.shape[-1]
@@ -970,7 +991,7 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
         R_off = max(rv, ru) + 1
         joint_tab = (kflat[:, None, :]
                      * ramp_tab[None, :R_off, :]).reshape(W * O * R_off, L)
-    if assembly == "tapdict":
+    if assembly in ("tapdict", "pallas"):
         # Precomputed shifted tap rows (see grid_chunks_dense_impl).
         R_off = max(rv, ru) + 1
         TL = max(rv, ru) + K
@@ -1056,6 +1077,12 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
 
     one = {"fft": one_fft,
            "tapdict": one_tapdict}.get(assembly, one_matmul)
+    if assembly == "pallas":
+        # grid-side default arriving here; the fused degrid handles it
+        # above, and non-tiled layouts take the shifted-tap XLA path
+        # (NOT one_matmul — the dict fallback silently demoted degrid
+        # to the slow spectral form when the pallas default landed).
+        one = one_tapdict
 
     n_groups = -(-NC // group)
     pad_nc = n_groups * group - NC

@@ -47,6 +47,8 @@ dispatch in :func:`.mxu_gridder.grid_chunks_dense_impl` selects it via
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,61 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _stack_tab(kr, K: int, ts2: int):
+    """Stack kernel rows (W*O, K) as exact 3-way bf16 splits along lanes:
+    [re_hi re_mid re_lo im_hi im_mid im_lo], each zero-padded to ts2.
+
+    lax.reduce_precision, NOT .astype(bf16).astype(f32): XLA's TPU
+    simplifier folds the bf16 round-trip away (measured — the folded
+    split leaves mid == lo == 0 and bf16-level grid error;
+    scripts/mosaic_num_probe2.py).  reduce_precision is the rounding the
+    compiler must preserve."""
+
+    def split3(x):
+        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, ts2 - K)))
+        hi = lax.reduce_precision(x, 8, 7)
+        r1 = x - hi
+        mid = lax.reduce_precision(r1, 8, 7)
+        lo = lax.reduce_precision(r1 - mid, 8, 7)
+        return [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+                lo.astype(jnp.bfloat16)]
+
+    return jnp.concatenate(split3(jnp.real(kr)) + split3(jnp.imag(kr)),
+                           axis=1)                      # (W*O, 6*ts2)
+
+
+def _select_shift(tab_ref, idx, sh, mc: int, wo: int, ts2: int,
+                  stage: str = "full"):
+    """Kernel row ``idx`` shifted ``sh`` lanes right, from a stacked
+    bf16-split table: one-hot MXU selection as ONE wide dot (exact — a
+    one-hot row has a single 1.0 and hi+mid+lo == f32), then one native
+    lane gather for the shift (the roll/select ladder costs ~6x more,
+    measured)."""
+    if stage == "nosel":
+        fr = tab_ref[:mc, :ts2].astype(jnp.float32)
+        fi = tab_ref[:mc, 3 * ts2:4 * ts2].astype(jnp.float32)
+    else:
+        onehot = (idx[:, None] == lax.broadcasted_iota(
+            jnp.int32, (mc, wo), 1)).astype(jnp.bfloat16)
+        sel = jnp.dot(onehot, tab_ref[:],
+                      preferred_element_type=jnp.float32)
+        fr = (sel[:, :ts2] + sel[:, ts2:2 * ts2]
+              + sel[:, 2 * ts2:3 * ts2])
+        fi = (sel[:, 3 * ts2:4 * ts2] + sel[:, 4 * ts2:5 * ts2]
+              + sel[:, 5 * ts2:])
+    cols = lax.broadcasted_iota(jnp.int32, (mc, ts2), 1)
+    src = jnp.clip(cols - sh[:, None], 0, ts2 - 1)
+    keep = cols >= sh[:, None]
+    zero = jnp.zeros((), jnp.float32)
+    if stage == "noshift":
+        fr = jnp.where(keep, fr, zero)
+        fi = jnp.where(keep, fi, zero)
+    else:
+        fr = jnp.where(keep, jnp.take_along_axis(fr, src, axis=1), zero)
+        fi = jnp.where(keep, jnp.take_along_axis(fi, src, axis=1), zero)
+    return fr, fi
 
 
 def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
@@ -95,39 +152,7 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
             state[2] = 0   # pending DMA on buffer 1
 
         def factor(idx, sh):
-            """conj'd kernel row ``idx`` shifted ``sh`` lanes right:
-            one-hot MXU row selection + one native lane gather (the
-            roll/select ladder costs ~6x more, measured)."""
-            if stage == "nosel":
-                fr = tab_ref[:mc, :ts2].astype(jnp.float32)
-                fi = tab_ref[:mc, 3 * ts2:4 * ts2].astype(jnp.float32)
-            else:
-                # One-hot MXU selection, ONE wide dot per factor.  The
-                # table stacks [re_hi re_mid re_lo im_hi im_mid im_lo]
-                # along lanes as 3-way bf16 splits (hi+mid+lo == f32
-                # exactly — the HIGHEST-matmul decomposition); selection
-                # is exact because each one-hot row has a single 1.0.
-                onehot = (idx[:, None] == lax.broadcasted_iota(
-                    jnp.int32, (mc, wo), 1)).astype(jnp.bfloat16)
-                sel = jnp.dot(onehot, tab_ref[:],
-                              preferred_element_type=jnp.float32)
-                fr = (sel[:, :ts2] + sel[:, ts2:2 * ts2]
-                      + sel[:, 2 * ts2:3 * ts2])
-                fi = (sel[:, 3 * ts2:4 * ts2] + sel[:, 4 * ts2:5 * ts2]
-                      + sel[:, 5 * ts2:])
-            cols = lax.broadcasted_iota(jnp.int32, (mc, ts2), 1)
-            src = jnp.clip(cols - sh[:, None], 0, ts2 - 1)
-            keep = cols >= sh[:, None]
-            zero = jnp.zeros((), jnp.float32)
-            if stage == "noshift":
-                fr = jnp.where(keep, fr, zero)
-                fi = jnp.where(keep, fi, zero)
-            else:
-                fr = jnp.where(keep, jnp.take_along_axis(fr, src, axis=1),
-                               zero)
-                fi = jnp.where(keep, jnp.take_along_axis(fi, src, axis=1),
-                               zero)
-            return fr, fi
+            return _select_shift(tab_ref, idx, sh, mc, wo, ts2, stage)
 
         def _acc_dst(ref, s):
             """Image-layout destination block for accumulator slot s.
@@ -315,29 +340,9 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     sre = jnp.real(sample).astype(jnp.float32)
     sim = jnp.imag(sample).astype(jnp.float32)
 
-    # conj'd unshifted kernel rows, zero-padded to the band width, split
-    # 3-way into (hi, mid, lo) bf16 planes (hi + mid + lo == f32 exactly
-    # — the HIGHEST-matmul decomposition) and stacked along lanes as
-    # [re_hi re_mid re_lo im_hi im_mid im_lo] for ONE selection dot per
-    # factor in the kernel.
-    kr = jnp.conj(kernel.reshape(W * O, K))
-
-    def split3(x):
-        # lax.reduce_precision, NOT .astype(bf16).astype(f32): XLA's TPU
-        # simplifier folds the bf16 round-trip away (measured — the
-        # folded split leaves mid == lo == 0 and bf16-level grid error;
-        # scripts/mosaic_num_probe2.py).  reduce_precision is the
-        # rounding the compiler must preserve.
-        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, TS2 - K)))
-        hi = lax.reduce_precision(x, 8, 7)
-        r1 = x - hi
-        mid = lax.reduce_precision(r1, 8, 7)
-        lo = lax.reduce_precision(r1 - mid, 8, 7)
-        return [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
-                lo.astype(jnp.bfloat16)]
-
-    tab = jnp.concatenate(split3(jnp.real(kr)) + split3(jnp.imag(kr)),
-                          axis=1)                       # (W*O, 6*TS2)
+    # conj'd unshifted kernel rows as the stacked bf16-split selection
+    # table (one wide selection dot per factor in the kernel).
+    tab = _stack_tab(jnp.conj(kernel.reshape(W * O, K)), K, TS2)
 
     tv = plan_anchor[:, 0] // ts
     tu = plan_anchor[:, 1] // ts
@@ -352,7 +357,6 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         n_arr = jnp.asarray(n_chunks, jnp.int32).reshape(1)
     slot = jnp.where(jnp.arange(NC) < n_arr[0], slot, 0)
 
-    import os
     G = min(int(os.environ.get("KTPU_PALLAS_G", "16")), NC)
     ng = -(-NC // G)
     NCp = ng * G
@@ -428,3 +432,178 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                 planes[a, b],
                 ((0, 0), (a * ts, ts - a * ts), (b * ts, ts - b * ts)))
     return total
+
+
+def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, mc: int,
+                        gc: int, ng: int):
+    """Fused degrid kernel body: per chunk, DMA the (P, ts2, ts2) model
+    window at the scalar-prefetched anchor (double-buffered one chunk
+    ahead), assemble the UNCONJUGATED tap factors in VMEM and evaluate
+    the bilinear prediction ``pred[m] = sum_{jk} kv[m,j] W[j,k] ku[m,k]``
+    as a Gauss 3-dot complex product plus a VPU row reduction (grid
+    parity: reference degrid.mako / grid.py:1138-1155 accumulate the
+    identical tap-weighted window sums per visibility)."""
+
+    def kernel(av_ref, au_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
+               gr_ref, gi_ref, tab_ref, outr_ref, outi_ref,
+               win_re, win_im, sem_re, sem_im):
+        i = pl.program_id(0)
+        n = n_ref[0]
+
+        def win_dma(cg, q):
+            src_r = gr_ref.at[:, pl.ds(av_ref[cg], ts2),
+                              pl.ds(au_ref[cg], ts2)]
+            src_i = gi_ref.at[:, pl.ds(av_ref[cg], ts2),
+                              pl.ds(au_ref[cg], ts2)]
+            return (pltpu.make_async_copy(src_r, win_re.at[q],
+                                          sem_re.at[q]),
+                    pltpu.make_async_copy(src_i, win_im.at[q],
+                                          sem_im.at[q]))
+
+        @pl.when(jnp.logical_and(i == 0, n > 0))
+        def _():
+            for cp in win_dma(0, 0):
+                cp.start()
+
+        for g in range(gc):
+            cg = i * gc + g
+
+            @pl.when(cg < n)
+            def _(g=g, cg=cg):
+                q = cg & 1
+                # The window for THIS chunk was started at chunk cg-1
+                # (or the prologue); wait it, then prefetch cg+1.
+                for cp in win_dma(cg, q):
+                    cp.wait()
+
+                @pl.when(cg + 1 < n)
+                def _():
+                    for cp in win_dma(cg + 1, 1 - q):
+                        cp.start()
+
+                ur, ui = _select_shift(tab_ref, iu_ref[0, g],
+                                       su_ref[0, g], mc, wo, ts2)
+                vr, vi = _select_shift(tab_ref, iv_ref[0, g],
+                                       sv_ref[0, g], mc, wo, ts2)
+                uab = ur + ui
+                dnk = (((1,), (1,)), ((), ()))   # contract the k axis
+
+                def hdot(x, y):
+                    return lax.dot_general(
+                        x, y, dnk, preferred_element_type=jnp.float32,
+                        precision=_HI)
+
+                for p in range(num_pols):
+                    wr = win_re[q, p]
+                    wi = win_im[q, p]
+                    # B[m, j] = sum_k W[j, k] ku[m, k] (complex, Gauss)
+                    m1 = hdot(ur, wr)
+                    m2 = hdot(ui, wi)
+                    m3 = hdot(uab, wr + wi)
+                    b_re = m1 - m2
+                    b_im = m3 - m1 - m2
+                    outr_ref[0, g, p, :] = jnp.sum(
+                        vr * b_re - vi * b_im, axis=1)
+                    outi_ref[0, g, p, :] = jnp.sum(
+                        vr * b_im + vi * b_re, axis=1)
+
+    return kernel
+
+
+def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
+                        plan_anchor, n_chunks=None, *, pixels: int,
+                        ts: int, interpret: bool | None = None):
+    """Fused-Pallas model prediction for tiled chunk plans.
+
+    ``grid`` is the (P, >=N, >=N) complex model grid (any padding; it is
+    re-padded to ``dense_pad_size`` here so every anchor's 2-tile window
+    is in range).  Returns predicted (NC, Mc, P) complex64 (callers mask
+    by ``valid`` and apply weights)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    K = kernel.shape[-1]
+    W, O = kernel.shape[0], kernel.shape[1]
+    Np = pixels
+    Pp = grid.shape[0]
+    NC, Mc = plan_wp.shape
+    TS2 = 2 * ts
+    assert K + ts - 1 <= TS2, "kernel must fit the 2-tile band window"
+    from .mxu_gridder import dense_pad_size
+
+    ext = dense_pad_size(Np, ts)
+    gpad = jnp.pad(grid, ((0, 0), (0, ext - grid.shape[1]),
+                          (0, ext - grid.shape[2])))
+    gre = jnp.real(gpad).astype(jnp.float32)
+    gim = jnp.imag(gpad).astype(jnp.float32)
+
+    uv_bias = (K - 1) // 2 - Np // 2
+    iu = (plan_wp.astype(jnp.int32) * O + plan_sub[..., 0].astype(jnp.int32))
+    iv = (plan_wp.astype(jnp.int32) * O + plan_sub[..., 1].astype(jnp.int32))
+    # bbox (non-tiled) plans bound offsets by ts inclusive; anything up
+    # to TS2 - K keeps the shifted taps inside the window.
+    sh_max = TS2 - K
+    su = jnp.clip(plan_uv[..., 0].astype(jnp.int32) - uv_bias
+                  - plan_anchor[:, None, 1], 0, sh_max)
+    sv = jnp.clip(plan_uv[..., 1].astype(jnp.int32) - uv_bias
+                  - plan_anchor[:, None, 0], 0, sh_max)
+
+    # UNCONJUGATED rows: degrid applies the taps directly
+    # (reference grid.py:1138-1155).
+    tab = _stack_tab(kernel.reshape(W * O, K), K, TS2)
+
+    if n_chunks is None:
+        n_arr = jnp.asarray(NC, jnp.int32).reshape(1)
+    else:
+        n_arr = jnp.asarray(n_chunks, jnp.int32).reshape(1)
+
+    G = min(int(os.environ.get("KTPU_PALLAS_G", "16")), NC)
+    ng = -(-NC // G)
+    NCp = ng * G
+
+    def padc(a):
+        return jnp.pad(a, [(0, NCp - NC)] + [(0, 0)] * (a.ndim - 1))
+
+    av = jnp.clip(padc(plan_anchor[:, 0]).astype(jnp.int32), 0, ext - TS2)
+    au = jnp.clip(padc(plan_anchor[:, 1]).astype(jnp.int32), 0, ext - TS2)
+
+    def im_chunk(i, av_r, au_r, n_r):
+        return (i, 0, 0)
+
+    def im_out(i, av_r, au_r, n_r):
+        return (i, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, G, Mc), im_chunk),      # iu
+            pl.BlockSpec((1, G, Mc), im_chunk),      # iv
+            pl.BlockSpec((1, G, Mc), im_chunk),      # su
+            pl.BlockSpec((1, G, Mc), im_chunk),      # sv
+            pl.BlockSpec(memory_space=pl.ANY),       # grid re
+            pl.BlockSpec(memory_space=pl.ANY),       # grid im
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # stacked table
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, Pp, Mc), im_out),
+            pl.BlockSpec((1, G, Pp, Mc), im_out),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Pp, TS2, TS2), jnp.float32),
+            pltpu.VMEM((2, Pp, TS2, TS2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    pre, pim = pl.pallas_call(
+        _make_degrid_kernel(Pp, W * O, TS2, Mc, G, ng),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ng, G, Pp, Mc), jnp.float32),
+                   jax.ShapeDtypeStruct((ng, G, Pp, Mc), jnp.float32)],
+        interpret=interpret,
+    )(av, au, n_arr,
+      padc(iu).reshape(ng, G, Mc), padc(iv).reshape(ng, G, Mc),
+      padc(su).reshape(ng, G, Mc), padc(sv).reshape(ng, G, Mc),
+      gre, gim, tab)
+    pred = lax.complex(pre, pim).reshape(NCp, Pp, Mc)[:NC]
+    return jnp.swapaxes(pred, -1, -2)                  # (NC, Mc, P)

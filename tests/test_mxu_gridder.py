@@ -102,7 +102,8 @@ def test_device_plan_matches_host(clustered):
                                   host.row_slot)
 
 
-@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm", "onehot", "joint", "tapdict"])
+@pytest.mark.parametrize("assembly", ["fft", "matmul", "tapsmm", "onehot",
+                                      "joint", "tapdict", "pallas"])
 def test_degrid_assembly_matches_oracle(assembly):
     rng = np.random.default_rng(29)
     kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng)
