@@ -55,36 +55,85 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _accelerator_usable() -> bool:
-    """Probe the accelerator with a tiny op IN A SUBPROCESS: the axon
-    tunnel can wedge (ops hang rather than fail), and a hung probe in
-    this process would take the whole benchmark down with it.
+def _probe_accelerator() -> dict:
+    """Probe the accelerator IN A SUBPROCESS and return a diagnostics dict
+    ``{"usable": bool, "attempts": [...]}``.
 
-    The tunnel also flaps: a transient outage at benchmark time would
-    otherwise silently record the tiny CPU-fallback workload as the
-    headline number, so retry the probe a few times before giving up
-    (bounded at ~6 minutes total)."""
+    The axon tunnel can wedge (ops hang rather than fail), so the probe
+    must be a subprocess — a hung probe in this process would take the
+    whole benchmark down with it.  The tunnel also flaps: a transient
+    outage at benchmark time would otherwise silently record the tiny
+    CPU-fallback workload as the headline number (this HAPPENED in round
+    4: BENCH_r04.json recorded TFRT_CPU_0 at 0.016 Mvis/s), so the probe
+    is one LONG-budget warm-up attempt (cold device enumeration alone can
+    take minutes) that also primes the persistent compilation cache,
+    plus one retry.  Every attempt's outcome is recorded and emitted in
+    the output JSON so a fallback can never be misread as a regression.
+
+    Budget knob: KTPU_BENCH_PROBE_TIMEOUT (seconds per attempt, default
+    600).  KTPU_BENCH_FORCE_CPU=1 skips the probe entirely."""
     import subprocess
     import sys
     import time as _time
 
-    code = ("import jax, jax.numpy as jnp;"
-            "print(float(jnp.sum(jnp.ones((8, 8)))),"
-            " jax.devices()[0].platform)")
-    for attempt in range(3):
+    if os.environ.get("KTPU_BENCH_FORCE_CPU"):
+        return {"usable": False, "attempts": [],
+                "note": "KTPU_BENCH_FORCE_CPU set"}
+
+    # Warm-up probe: enumerate devices, run a tiny op, then compile one
+    # small jitted function with the SAME persistent cache dir as the
+    # benchmark, so a cold tunnel's first-compile latency is paid here
+    # (inside the probe budget) rather than mid-benchmark.
+    code = f"""
+import time, jax
+jax.config.update("jax_compilation_cache_dir", {_CACHE!r})
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+import jax.numpy as jnp
+t0 = time.time(); devs = jax.devices()
+print("enum_s", round(time.time() - t0, 1), flush=True)
+t0 = time.time(); v = float(jnp.sum(jnp.ones((8, 8))))
+print("op_s", round(time.time() - t0, 1), v, flush=True)
+t0 = time.time()
+f = jax.jit(lambda x: jnp.fft.fft2(jnp.einsum('ij,jk->ik', x, x) + 0j))
+x = jnp.ones((256, 256), jnp.float32)
+s = float(jnp.abs(f(x)).sum())
+print("warm_s", round(time.time() - t0, 1), flush=True)
+print("platform", devs[0].platform, flush=True)
+"""
+    timeout_s = int(os.environ.get("KTPU_BENCH_PROBE_TIMEOUT", "600"))
+    attempts = []
+    for attempt in range(2):
         if attempt:
             _time.sleep(30)
+        rec = {"attempt": attempt, "timeout_s": timeout_s}
+        t0 = _time.time()
         try:
-            # Cold tunnel device-enumeration alone can take minutes;
-            # a tight probe timeout here silently records the CPU
-            # fallback as the headline (observed round 4).
-            out = subprocess.run([sys.executable, "-c", code], timeout=240,
+            out = subprocess.run([sys.executable, "-c", code],
+                                 timeout=timeout_s,
                                  capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as exc:
+            rec.update(duration_s=round(_time.time() - t0, 1),
+                       outcome="timeout",
+                       stdout_tail=((exc.stdout or b"").decode(
+                           "utf-8", "replace"))[-300:])
+            attempts.append(rec)
+            print(f"bench probe attempt {attempt}: TIMEOUT after "
+                  f"{timeout_s}s", file=sys.stderr, flush=True)
             continue
+        rec.update(duration_s=round(_time.time() - t0, 1),
+                   outcome="rc=%d" % out.returncode,
+                   stdout_tail=out.stdout[-300:],
+                   stderr_tail=out.stderr[-300:])
+        attempts.append(rec)
+        print(f"bench probe attempt {attempt}: rc={out.returncode} in "
+              f"{rec['duration_s']}s: {out.stdout.strip()!r}",
+              file=sys.stderr, flush=True)
         if out.returncode == 0:
-            return "cpu" not in out.stdout.split()[-1:]
-    return False
+            lines = out.stdout.split()
+            usable = bool(lines) and lines[-1] != "cpu"
+            return {"usable": usable, "attempts": attempts}
+    return {"usable": False, "attempts": attempts}
 
 
 def _pair(x: np.ndarray):
@@ -161,36 +210,111 @@ def run_step_bench(cfg, num_channels: int, vis_per_slice: int | None,
     }
 
 
-def main():
+def _production_bench() -> dict:
+    """The accelerator headline: the production 4-W-slice shape.
+
+    chunks_per_slice must hold the fragmented 512k-vis slice (~5k
+    occupied chunks at this UV spread); the round-4 value of 4096
+    silently thinned the workload to 262k vis/slice via
+    make_example_batch's fragmentation fallback."""
     from katsdpimager_tpu.parallel.multichannel import MultiChannelConfig
+
+    cfg = MultiChannelConfig(
+        pixels=4096, num_pols=1, kernel_width=60, oversample=8,
+        w_planes=32, w_slices=4, chunks_per_slice=8192, chunk_size=256,
+        rv=64, ru=64, minor_cycles=0, weight_type="natural")
+    return run_step_bench(cfg, num_channels=8, vis_per_slice=1 << 19)
+
+
+def _cpu_fallback_bench() -> dict:
+    """Tiny CPU-sized twin used only when no accelerator is reachable."""
+    from katsdpimager_tpu.parallel.multichannel import MultiChannelConfig
+
+    cfg = MultiChannelConfig(
+        pixels=512, num_pols=1, kernel_width=16, oversample=8,
+        w_planes=8, w_slices=2, chunks_per_slice=256, chunk_size=128,
+        rv=32, ru=32, minor_cycles=0)
+    return run_step_bench(cfg, num_channels=2, vis_per_slice=None)
+
+
+def _run_worker() -> dict | None:
+    """Run the accelerator bench in a SUPERVISED SUBPROCESS.
+
+    The axon tunnel can wedge mid-run (after a successful probe), which
+    in-process would hang the whole benchmark past any driver timeout
+    and record nothing.  The worker re-runs this file with --worker and
+    prints its JSON on the last stdout line; the parent enforces
+    KTPU_BENCH_WORKER_TIMEOUT (default 2400 s — cold-tunnel compiles
+    take minutes even with the persistent cache).  Returns the parsed
+    result dict, or a dict with "worker_error" diagnostics on failure.
+    """
+    import subprocess
+    import sys
+    import time as _time
+
+    timeout_s = int(os.environ.get("KTPU_BENCH_WORKER_TIMEOUT", "2400"))
+    t0 = _time.time()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired as exc:
+        return {"worker_error": "timeout",
+                "worker_timeout_s": timeout_s,
+                "worker_stdout_tail":
+                    ((exc.stdout or b"").decode("utf-8", "replace"))[-400:]}
+    diag = {"worker_rc": out.returncode,
+            "worker_duration_s": round(_time.time() - t0, 1)}
+    for line in reversed(out.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if out.returncode == 0 and "value" in result:
+                return result
+            diag["worker_partial"] = result
+            break
+    diag["worker_error"] = "no result"
+    diag["worker_stdout_tail"] = out.stdout[-400:]
+    diag["worker_stderr_tail"] = out.stderr[-600:]
+    return diag
+
+
+def main():
+    import sys
+
+    if "--worker" in sys.argv:
+        print(json.dumps(_production_bench()), flush=True)
+        return
 
     # When jax_platforms is unset, don't assume CPU: the subprocess probe
     # reports the default backend's platform, so a directly attached
     # accelerator is detected even without JAX_PLATFORMS in the env.
     plat = (jax.config.jax_platforms or "").split(",")[0]
-    on_accel = plat != "cpu" and _accelerator_usable()
-    if not on_accel:
-        # fall back BEFORE any backend initializes in this process
-        jax.config.update("jax_platforms", "cpu")
-    if on_accel:
-        # chunks_per_slice must hold the fragmented 512k-vis slice
-        # (~5k occupied chunks at this UV spread); the round-4 value of
-        # 4096 silently thinned the workload to 262k vis/slice via
-        # make_example_batch's fragmentation fallback.
-        cfg = MultiChannelConfig(
-            pixels=4096, num_pols=1, kernel_width=60, oversample=8,
-            w_planes=32, w_slices=4, chunks_per_slice=8192, chunk_size=256,
-            rv=64, ru=64, minor_cycles=0, weight_type="natural")
-        num_channels = 8
-        vis_per_slice = 1 << 19
-    else:
-        cfg = MultiChannelConfig(
-            pixels=512, num_pols=1, kernel_width=16, oversample=8,
-            w_planes=8, w_slices=2, chunks_per_slice=256, chunk_size=128,
-            rv=32, ru=32, minor_cycles=0)
-        num_channels = 2
-        vis_per_slice = None
-    print(json.dumps(run_step_bench(cfg, num_channels, vis_per_slice)))
+    probe = {"usable": False, "attempts": [], "note": "jax_platforms=cpu"}
+    if plat != "cpu":
+        probe = _probe_accelerator()
+    worker = None
+    if probe["usable"]:
+        worker = _run_worker()
+        if worker is not None and "value" in worker:
+            print(json.dumps(worker))
+            return
+    # Make a CPU fallback IMPOSSIBLE to misread as the headline: the
+    # value is from a tiny CPU-sized workload, not a regression of
+    # the accelerator number (round-4 lesson — BENCH_r04.json).
+    jax.config.update("jax_platforms", "cpu")
+    result = _cpu_fallback_bench()
+    result["fallback"] = True
+    result["fallback_reason"] = ("accelerator probe or worker failed; "
+                                 "tiny CPU-sized workload, NOT comparable "
+                                 "to accelerator rounds")
+    result["probe"] = probe
+    if worker is not None:
+        result["worker"] = worker
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -111,14 +111,20 @@ def beam_area(beam: Beam) -> float:
 
 @partial(jax.jit, static_argnames=("pixels",))
 def _convolve(model, M, amplitude, *, pixels: int):
-    model_ft = jnp.fft.fft2(model, axes=(-2, -1))
-    u = jnp.fft.fftfreq(pixels)
-    v = jnp.fft.fftfreq(pixels)
+    # Real-to-complex transforms: the model and the output are real, so
+    # the half-spectrum rfft2/irfft2 pair does half the transform work
+    # and half the spectrum multiply of a complex fft2/ifft2 pair — the
+    # same economy the reference gets from its r2c/c2r plans
+    # (reference beam.py:235-260, imager_kernels/fourier_beam.mako).
+    model_ft = jnp.fft.rfft2(model, axes=(-2, -1))
+    u = jnp.fft.fftfreq(pixels)      # full axis (-2)
+    v = jnp.fft.rfftfreq(pixels)     # half-spectrum axis (-1)
     coords = jnp.stack(jnp.meshgrid(u, v, indexing="ij"), axis=-1)
     rotated = jnp.einsum("yxj,ij->yxi", coords, M, precision="highest")
     r2 = jnp.sum(rotated ** 2, axis=-1)
     beam_ft = amplitude * jnp.exp(-2.0 * (jnp.pi ** 2) * r2)
-    out = jnp.fft.ifft2(model_ft * beam_ft[None], axes=(-2, -1)).real
+    out = jnp.fft.irfft2(model_ft * beam_ft[None], s=(pixels, pixels),
+                         axes=(-2, -1))
     return out.astype(model.dtype)
 
 

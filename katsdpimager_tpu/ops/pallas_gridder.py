@@ -115,7 +115,8 @@ def _select_shift(tab_ref, idx, sh, mc: int, wo: int, ts2: int,
 
 
 def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
-                 nc: int, nt2: int, ng: int, stage: str = "full"):
+                 nc: int, nt2: int, ng: int, stage: str = "full",
+                 band: str = "gauss"):
     """Build the fused kernel body for static (P, W*O, 2*ts, Mc, G, NC).
 
     One grid step processes ``gc`` chunks.  The running anchor's band sum
@@ -138,10 +139,8 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
     """
 
     def kernel(slot_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
-               sre_ref, sim_ref, tab_ref,
-               accr_in, acci_in, accr_ref, acci_ref,
+               sre_ref, sim_ref, tab_ref, accr_ref, acci_ref,
                scr_re, scr_im, state, sem_re, sem_im):
-        del accr_in, acci_in  # aliased with the output refs
         i = pl.program_id(0)
         n = n_ref[0]
 
@@ -227,7 +226,6 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                     return
                 ar, ai = factor(iv_ref[0, g], sv_ref[0, g])   # conj(Vt)
                 br, bi = factor(iu_ref[0, g], su_ref[0, g])   # conj(Utap)
-                bab = br + bi                                 # (Mc, ts2)
                 dn = (((0,), (0,)), ((), ()))
 
                 def hdot(x, y):
@@ -235,15 +233,40 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                         x, y, dn, preferred_element_type=jnp.float32,
                         precision=_HI)
 
+                if band == "kstack":
+                    # Contraction-stacked variant: [ar; ai] against the
+                    # sample-scaled U stacked per output part — TWO dots
+                    # of double (2*Mc) contraction depth instead of three
+                    # Gauss dots of Mc.  4/3 the MXU flops but each dot
+                    # pipelines 2x the accumulation steps into one output
+                    # tile — an A/B for the measured ~27% MXU efficiency
+                    # of the (2ts, Mc)x(Mc, 2ts) Gauss shape.
+                    fa = jnp.concatenate([ar, ai], axis=0)    # (2Mc, ts2)
+                else:
+                    bab = br + bi                             # (Mc, ts2)
+
                 for p in range(num_pols):
                     sr = sre_ref[0, g, p][:, None]
                     si = sim_ref[0, g, p][:, None]
-                    pr = ar * sr - ai * si
-                    pi = ar * si + ai * sr
                     if stage == "noband":
+                        pr = ar * sr - ai * si
+                        pi = ar * si + ai * sr
                         band_re = pr[:ts2, :] + br[:ts2, :]
                         band_im = pi[:ts2, :] + bi[:ts2, :]
+                    elif band == "kstack":
+                        # t = s * conj(U); band_re = sum vr x tr - vi x ti
+                        # = [ar; ai]^T [tr; -ti]; band_im = [ar; ai]^T
+                        # [ti; tr].  Same shifted factors as gauss, same
+                        # products — only the summation order differs.
+                        tr = br * sr - bi * si
+                        ti = br * si + bi * sr
+                        band_re = hdot(fa, jnp.concatenate([tr, -ti],
+                                                           axis=0))
+                        band_im = hdot(fa, jnp.concatenate([ti, tr],
+                                                           axis=0))
                     else:
+                        pr = ar * sr - ai * si
+                        pi = ar * si + ai * sr
                         # Gauss 3-multiplication complex product: 25%
                         # fewer MXU flops than 4 dots (or the stacked
                         # 2x2-block dot, which also paid two 0.5 MB VPU
@@ -369,10 +392,16 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     # slice at the tile position, and the XLA-side combine is four
     # pad-shifted adds fused into ONE elementwise pass (no reshape, no
     # per-colour dynamic-update-slice RMW).
+    #
+    # The planes are NOT zero-initialized: zeroing the ~600 MB (4k, P=1)
+    # slot space cost 4.6% of the production step in the round-4 device
+    # profile (aliased zeros broadcasts).  Instead the kernel writes each
+    # OCCUPIED slot exactly once (one anchor == one consecutive run ==
+    # one full-block flush DMA), and the combine masks unwritten slots
+    # with a per-tile occupancy map (jnp.where, so garbage NaNs cannot
+    # leak through a multiply).
     ext2 = nt2 * TS2
     acc_shape = (2, 2, Pp, ext2, ext2)
-    accr0 = jnp.zeros(acc_shape, jnp.float32)
-    acci0 = jnp.zeros(acc_shape, jnp.float32)
 
     def im_chunk(i, slot_r, n_r):
         return (i, 0, 0)
@@ -391,8 +420,6 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
             pl.BlockSpec((1, G, Pp, Mc), im_chunk4),  # sample re
             pl.BlockSpec((1, G, Pp, Mc), im_chunk4),  # sample im
             pl.BlockSpec(memory_space=pltpu.VMEM),   # stacked table
-            pl.BlockSpec(memory_space=pl.ANY),       # acc re (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),       # acc im (aliased)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -407,29 +434,41 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         ],
     )
     stage = os.environ.get("KTPU_PALLAS_STAGE", "full")
+    band = os.environ.get("KTPU_PALLAS_BAND", "gauss")
     accr, acci = pl.pallas_call(
-        _make_kernel(Pp, W * O, TS2, Mc, G, NCp, nt2, ng, stage),
+        _make_kernel(Pp, W * O, TS2, Mc, G, NCp, nt2, ng, stage, band),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(acc_shape, jnp.float32),
                    jax.ShapeDtypeStruct(acc_shape, jnp.float32)],
-        input_output_aliases={9: 0, 10: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(padc(slot), n_arr,
       padc(iu).reshape(ng, G, Mc), padc(iv).reshape(ng, G, Mc),
       padc(su).reshape(ng, G, Mc), padc(sv).reshape(ng, G, Mc),
       padc(sre).reshape(ng, G, Pp, Mc), padc(sim).reshape(ng, G, Pp, Mc),
-      tab, accr0, acci0)
+      tab)
+
+    # Occupancy of each (colour, tile) slot: only occupied chunks' slots
+    # were written by the kernel; everything else is uninitialized HBM
+    # and must be masked (with where — a multiply would propagate NaNs).
+    occ = jnp.zeros((4 * nt2 * nt2,), bool).at[slot].max(
+        jnp.arange(NC) < n_arr[0]).reshape(2, 2, nt2, nt2)
 
     # Four pad-shifted colour-plane adds, one fused elementwise pass:
     # dense_pad_size == ts + ext2, so plane (a, b) pads exactly
     # (a*ts, (1-a)*ts) x (b*ts, (1-b)*ts).
-    planes = lax.complex(accr, acci).astype(grid_pad.dtype)
     total = grid_pad
     for a in range(2):
         for b in range(2):
+            mask = occ[a, b][None, :, None, :, None]
+            pr = jnp.where(
+                mask, accr[a, b].reshape(Pp, nt2, TS2, nt2, TS2),
+                jnp.zeros((), jnp.float32)).reshape(Pp, ext2, ext2)
+            pi = jnp.where(
+                mask, acci[a, b].reshape(Pp, nt2, TS2, nt2, TS2),
+                jnp.zeros((), jnp.float32)).reshape(Pp, ext2, ext2)
             total = total + jnp.pad(
-                planes[a, b],
+                lax.complex(pr, pi).astype(grid_pad.dtype),
                 ((0, 0), (a * ts, ts - a * ts), (b * ts, ts - b * ts)))
     return total
 
