@@ -606,15 +606,37 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
         ntv = -(-pixels // ts) + 1
         nt2 = -(-ntv // 2) + 1
         ext2 = nt2 * 2 * ts
-        acc_gb = 4 * grid_pad.shape[0] * ext2 * ext2 * 4 * 2 / 1e9
+        Pp_ = grid_pad.shape[0]
+        acc_gb = 4 * Pp_ * ext2 * ext2 * 4 * 2 / 1e9
         max_gb = float(os.environ.get("KTPU_PALLAS_MAX_ACC_GB", "4.0"))
-        if kernel.shape[-1] + ts - 1 <= 2 * ts and acc_gb <= max_gb:
+        if kernel.shape[-1] + ts - 1 <= 2 * ts:
             from .pallas_gridder import grid_chunks_fused
 
-            return grid_chunks_fused(
-                grid_pad, kernel, weights_grid, plan_uv, plan_sub, plan_wp,
-                plan_vis, plan_anchor, plan_valid, dw_chunks, n_chunks,
-                pixels=pixels, ts=ts)
+            if acc_gb <= max_gb:
+                return grid_chunks_fused(
+                    grid_pad, kernel, weights_grid, plan_uv, plan_sub,
+                    plan_wp, plan_vis, plan_anchor, plan_valid, dw_chunks,
+                    n_chunks, pixels=pixels, ts=ts)
+            if acc_gb / Pp_ <= max_gb and Pp_ > 1:
+                # Polarization split: 8k full-Stokes accumulator planes
+                # (~9 GB jointly) don't fit next to the working set, but
+                # one pol's do — run the fused kernel per pol.  Costs
+                # Pp extra factor assemblies (~20% of the kernel's
+                # marginal time); still far ahead of the XLA tapdict
+                # fallback this replaces (IQUV batches at ~3.2x the P=1
+                # band time, doc/PERFORMANCE.md round-4 IQUV scaling).
+                outs = [
+                    grid_chunks_fused(
+                        grid_pad[p:p + 1], kernel,
+                        None if weights_grid is None
+                        else weights_grid[p:p + 1],
+                        plan_uv, plan_sub, plan_wp, plan_vis[..., p:p + 1],
+                        plan_anchor, plan_valid,
+                        None if dw_chunks is None
+                        else dw_chunks[..., p:p + 1],
+                        n_chunks, pixels=pixels, ts=ts)
+                    for p in range(Pp_)]
+                return jnp.concatenate(outs, axis=0)
         assembly = "tapdict"
     if group is None:
         # Measured on v5e: small groups keep the band-scatter working set

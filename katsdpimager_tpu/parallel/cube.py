@@ -38,6 +38,7 @@ from ..ops import clean as clean_ops
 from ..ops import mxu_gridder
 from ..ops.fourier import (grid_to_image_batched_impl, grid_to_image_impl,
                            image_to_grid_impl)
+from .slices import scan_slices
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,9 +167,9 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
 
         return jax.lax.cond(nc_s > 0, do, lambda d: d, dirty), None
 
-    dirty, _ = jax.lax.scan(body, dirty0,
-                            (uv, sub_uv, w_plane, anchor, valid, vis, mid_w,
-                             nc_slices))
+    dirty, _ = scan_slices(body, dirty0,
+                           (uv, sub_uv, w_plane, anchor, valid, vis, mid_w,
+                            nc_slices))
     return dirty
 
 
@@ -198,7 +199,7 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
         new_vis = jax.lax.cond(nc_s > 0, do, lambda: vis_s)
         return None, new_vis
 
-    _, new_vis = jax.lax.scan(
+    _, new_vis = scan_slices(
         body, None,
         (uv, sub_uv, w_plane, anchor, valid, weights, vis, mid_w,
          nc_slices))
@@ -241,7 +242,7 @@ def _predict_subtract_slices(cfg: CubeConfig, sky_lmn, sky_flux, uv, sub_uv,
 
         return None, jax.lax.cond(nc_s > 0, do, lambda: vis_s)
 
-    _, new_vis = jax.lax.scan(
+    _, new_vis = scan_slices(
         body, None,
         (uv, sub_uv, w_plane, valid, weights, vis, mid_w, nc_slices))
     return new_vis

@@ -36,6 +36,7 @@ from ..ops import clean as clean_ops
 from ..ops import mxu_gridder
 from ..ops.fourier import (grid_to_image_batched_impl,
                            grid_to_image_impl)
+from .slices import scan_slices
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,22 +181,7 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
             dirty = jax.lax.cond(nc_s > 0, do, lambda d: d, dirty)
             return dirty, None
 
-        if os.environ.get("KTPU_UNROLL_SLICES", "1") == "1":
-            # The W-slice count is STATIC and small (the reference's
-            # w-slice search returns ~4, parameters.py): a Python loop
-            # removes the scan's per-iteration gather/carry plumbing
-            # (~23% of step time in the round-4 device profile) and lets
-            # XLA overlap/fuse across slice bodies.  The empty-slice
-            # cond is kept per slice (its predicate stays unbatched).
-            dirty = dirty0
-            S = uv.shape[0]
-            for s in range(S):
-                dirty, _ = slice_body(
-                    dirty, (uv[s], sub_uv[s], w_plane[s], anchor[s],
-                            valid[s], vis_like[s], mid_w[s], nc_slices[s]))
-            return dirty
-
-        dirty, _ = jax.lax.scan(
+        dirty, _ = scan_slices(
             slice_body, dirty0,
             (uv, sub_uv, w_plane, anchor, valid, vis_like, mid_w,
              nc_slices))

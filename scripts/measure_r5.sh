@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-5 measurement sweep, priority-ordered for brief tunnel windows
+# (VERDICT r4 items 1-5).  Runs each harness under timeout; appends to
+# /tmp/measure_r5.log so partial windows still leave a record.
+cd /root/repo
+LOG=${LOG:-/tmp/measure_r5.log}
+run() {
+  echo "=== $* ($(date +%H:%M:%S))" >> "$LOG"
+  timeout "$1" "${@:2}" >> "$LOG" 2>&1
+  echo "--- rc=$? ($(date +%H:%M:%S))" >> "$LOG"
+}
+# 1. the driver headline (production 4-W-slice shape, hardened worker)
+run 2700 python bench.py
+# 2. band-dot A/B: Gauss 3-dot (default) vs contraction-stacked kstack
+run 1800 python benchmarks/pallas_tpu.py 1048576,4194304 4096 60 32 pallas
+run 1800 env KTPU_PALLAS_BAND=kstack python benchmarks/pallas_tpu.py \
+  1048576,4194304 4096 60 32 pallas
+# 3. 8k cube device point (target <= 1.8 s/channel)
+run 2400 python benchmarks/cube_bench.py 8192 21 1
+# 4. IQUV row at the BASELINE design point
+run 2400 python benchmarks/cube_bench.py 8192 21 4
+# 5. end-to-end cube wall-clock (dataset -> FITS)
+run 3600 python benchmarks/cube_e2e.py
+# 6. post-change device profile
+run 2400 python scripts/device_profile_bench.py
+echo "ALL DONE $(date +%H:%M:%S)" >> "$LOG"

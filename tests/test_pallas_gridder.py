@@ -86,6 +86,30 @@ def test_matches_scatter_oracle():
     np.testing.assert_allclose(got, oracle, atol=2e-4 * scale)
 
 
+def test_pol_split_matches_joint(monkeypatch):
+    """The per-pol accumulator split (taken when the joint colour planes
+    exceed KTPU_PALLAS_MAX_ACC_GB) matches the joint fused path to f32
+    rounding."""
+    rng = np.random.default_rng(23)
+    _, joint, (kernel, uv, sub, wp, vis, wg, plan) = run_pair(
+        rng, num_pols=4, n=900)
+    monkeypatch.setenv("KTPU_PALLAS_MAX_ACC_GB", "0.0001")
+    _, split, _ = run_pair(np.random.default_rng(23), num_pols=4, n=900)
+    scale = np.max(np.abs(joint))
+    np.testing.assert_allclose(split, joint, atol=2e-6 * scale)
+
+
+def test_kstack_band_matches_gauss(monkeypatch):
+    """KTPU_PALLAS_BAND=kstack (contraction-stacked dots) is numerically
+    interchangeable with the default Gauss 3-dot band."""
+    rng = np.random.default_rng(29)
+    _, gauss, _ = run_pair(rng, n=900)
+    monkeypatch.setenv("KTPU_PALLAS_BAND", "kstack")
+    _, kstack, _ = run_pair(np.random.default_rng(29), n=900)
+    scale = np.max(np.abs(gauss))
+    np.testing.assert_allclose(kstack, gauss, atol=2e-6 * scale)
+
+
 def test_empty_plan_is_zero():
     """All-padding layout (n_chunks=0) must leave the grid untouched."""
     rng = np.random.default_rng(3)
