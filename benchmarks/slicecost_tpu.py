@@ -65,7 +65,8 @@ def main():
     N = pixels
     ext = mxu_gridder.dense_pad_size(N, TS)
     stages = args or ["init", "combine", "xlafft", "mxufft", "fixup",
-                      "g2i_xla", "g2i_mxu", "g2i_mxu_batched"]
+                      "g2i_xla", "g2i_mxu", "g2i_pallas", "i2g_xla",
+                      "i2g_pallas", "g2i_mxu_batched"]
 
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.normal(size=(P, N, N)).astype(np.float32))
@@ -109,14 +110,23 @@ def main():
         out = re * (jnp.cos(phase) * common) + im * (-jnp.sin(phase) * common)
         return jnp.sum(jnp.abs(out))
 
-    def g2i(use_mxu):
+    def g2i(which):
         @jax.jit
         def f(re, im):
-            os.environ["KTPU_FFT"] = "mxu" if use_mxu else "xla"
+            os.environ["KTPU_FFT"] = which
             img = jnp.zeros((P, N, N), jnp.float32)
             out = fourier.grid_to_image_impl(re + 1j * im, img, taper,
                                              wmid, pxs, pixels=N)
             return jnp.sum(jnp.abs(out))
+        return f
+
+    def i2g(which):
+        @jax.jit
+        def f(re, im):
+            os.environ["KTPU_FFT"] = which
+            out = fourier.image_to_grid_impl(re, taper, wmid, pxs,
+                                             pixels=N)
+            return jnp.sum(jnp.abs(out.real))
         return f
 
     @jax.jit
@@ -148,8 +158,11 @@ def main():
         "xlafft": (xlafft, (re, im)),
         "mxufft": (mxufft, (re, im)),
         "fixup": (fixup, (re, im)),
-        "g2i_xla": (g2i(False), (re, im)),
-        "g2i_mxu": (g2i(True), (re, im)),
+        "g2i_xla": (g2i("xla"), (re, im)),
+        "g2i_mxu": (g2i("mxu"), (re, im)),
+        "g2i_pallas": (g2i("pallas"), (re, im)),
+        "i2g_xla": (i2g("xla"), (re, im)),
+        "i2g_pallas": (i2g("pallas"), (re, im)),
         "g2i_mxu_batched": (g2i_batched, (re4, im4)),
     }
     for name in stages:

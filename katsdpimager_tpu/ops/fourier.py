@@ -32,12 +32,29 @@ CPU path (KTPU_FFT=mxu|xla overrides).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from . import fft as mfft
+
+
+def _use_pallas_fft(pixels: int, *dtypes) -> bool:
+    """Route the grid<->image transforms through the fused Pallas
+    four-step kernels (:mod:`.pallas_fft`): FFT + corrections in two
+    kernel launches and one relayout.  Opt-in (KTPU_FFT=pallas) until
+    the on-chip A/B lands; f32/c64 only (--precision double keeps the
+    XLA path, as the fused kernels are f32 MXU code)."""
+    from . import pallas_fft
+
+    return (os.environ.get("KTPU_FFT", "").lower() == "pallas"
+            and pixels >= 256
+            and pallas_fft._split(pixels) is not None
+            and pixels % pallas_fft._default_cw(pixels) == 0
+            and all(jnp.dtype(d) in (jnp.float32, jnp.complex64)
+                    for d in dtypes))
 
 
 def _lm_grids(pixels: int, pixel_size, dtype):
@@ -93,6 +110,15 @@ def grid_to_image_impl(grid, image, kernel1d, w, pixel_size, *, pixels: int):
     fftshift(elementwise(ifft2(ifftshift(grid)))) for even N.
     """
     rdtype = image.dtype
+    if _use_pallas_fft(pixels, rdtype, grid.dtype):
+        from .pallas_fft import grid_to_image_fused
+
+        # Transposed-carry formulation; XLA cancels the adjacent
+        # transpose pairs across the unrolled W-slice loop, leaving two
+        # relayouts per channel.
+        outT = grid_to_image_fused(grid, jnp.swapaxes(image, -1, -2),
+                                   kernel1d, w, pixel_size, pixels=pixels)
+        return jnp.swapaxes(outT, -1, -2).astype(rdtype)
     cb = _checkerboard(pixels, rdtype)
     layer = _ifft2(grid * cb)
     scale = pixels * pixels  # match unnormalized cuFFT inverse
@@ -141,6 +167,11 @@ def image_to_grid_impl(image, kernel1d, w, pixel_size, *, pixels: int):
     shift-free checkerboard formulation as :func:`grid_to_image_impl`.
     """
     rdtype = image.dtype
+    if _use_pallas_fft(pixels, rdtype):
+        from .pallas_fft import image_to_grid_fused
+
+        return image_to_grid_fused(jnp.swapaxes(image, -1, -2), kernel1d,
+                                   w, pixel_size, pixels=pixels)
     cb = _checkerboard(pixels, rdtype)
     n = _lm_grids(pixels, pixel_size, rdtype)
     taper2 = jnp.outer(kernel1d, kernel1d).astype(rdtype)

@@ -15,6 +15,11 @@ run 2700 python bench.py
 run 1800 python benchmarks/pallas_tpu.py 1048576,4194304 4096 60 32 pallas
 run 1800 env KTPU_PALLAS_BAND=kstack python benchmarks/pallas_tpu.py \
   1048576,4194304 4096 60 32 pallas
+# 2b. fused Pallas FFT A/B (grid_to_image / image_to_grid) at 4k and 8k
+run 1800 python benchmarks/slicecost_tpu.py g2i_xla g2i_pallas i2g_xla \
+  i2g_pallas
+run 1800 python benchmarks/slicecost_tpu.py --pixels=8192 g2i_xla \
+  g2i_pallas i2g_xla i2g_pallas
 # 3. 8k cube device point (target <= 1.8 s/channel)
 run 2400 python benchmarks/cube_bench.py 8192 21 1
 # 4. IQUV row at the BASELINE design point
