@@ -28,4 +28,7 @@ run 2400 python benchmarks/cube_bench.py 8192 21 4
 run 3600 python benchmarks/cube_e2e.py
 # 6. post-change device profile
 run 2400 python scripts/device_profile_bench.py
+# 7. production-step A/Bs: fused FFT on the headline shape; step decomp
+run 2700 env KTPU_FFT=pallas python bench.py
+run 1800 python benchmarks/stepdecomp_tpu.py
 echo "ALL DONE $(date +%H:%M:%S)" >> "$LOG"
