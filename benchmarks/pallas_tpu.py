@@ -51,6 +51,7 @@ def main() -> None:
 def run_point(n, pixels, K, W, which, degrid=False) -> None:
     O, TS = 8, 64
     MC = int(os.environ.get("KTPU_BENCH_MC", "256"))
+    P = int(os.environ.get("KTPU_BENCH_POLS", "1"))
 
     rng = np.random.default_rng(0)
     kernel = (rng.normal(size=(W, O, K))
@@ -60,10 +61,10 @@ def run_point(n, pixels, K, W, which, degrid=False) -> None:
                  ).astype(np.int16)
     sub = rng.integers(0, O, size=(n, 2)).astype(np.int16)
     wp = rng.integers(0, W, size=n).astype(np.int16)
-    vis = (rng.normal(size=(n, 1))
-           + 1j * rng.normal(size=(n, 1))).astype(np.complex64)
+    vis = (rng.normal(size=(n, P))
+           + 1j * rng.normal(size=(n, P))).astype(np.complex64)
     plan = mxu_gridder.plan_chunks_tiled(
-        uv, sub, wp, vis, np.ones((n, 1), np.float32),
+        uv, sub, wp, vis, np.ones((n, P), np.float32),
         pixels=pixels, kernel_width=K, ts=TS, mc=MC)
     n_occ = int(np.asarray(mxu_gridder.occupied_chunks(plan.valid)))
     print(f"n={n} pixels={pixels} K={K} W={W} "
@@ -81,15 +82,15 @@ def run_point(n, pixels, K, W, which, degrid=False) -> None:
 
     if degrid:
         rngg = np.random.default_rng(1)
-        gsrc = (rngg.normal(size=(1, pixels + TS, pixels + TS))
-                + 1j * rngg.normal(size=(1, pixels + TS, pixels + TS))
+        gsrc = (rngg.normal(size=(P, pixels + TS, pixels + TS))
+                + 1j * rngg.normal(size=(P, pixels + TS, pixels + TS))
                 ).astype(np.complex64)
         gp = pair(gsrc)
         wtj = jnp.asarray(np.asarray(plan.weights))
 
     def run(assembly):
         def f(kp, vp, *p):
-            gpad = jnp.zeros((1, ext, ext), jnp.complex64)
+            gpad = jnp.zeros((P, ext, ext), jnp.complex64)
             out = mxu_gridder.grid_chunks_dense_impl(
                 gpad, lax.complex(kp[..., 0], kp[..., 1]), None,
                 p[0], p[1], p[2], lax.complex(vp[..., 0], vp[..., 1]),

@@ -619,23 +619,25 @@ def grid_chunks_dense_impl(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                     n_chunks, pixels=pixels, ts=ts)
             if acc_gb / Pp_ <= max_gb and Pp_ > 1:
                 # Polarization split: 8k full-Stokes accumulator planes
-                # (~9 GB jointly) don't fit next to the working set, but
-                # one pol's do — run the fused kernel per pol.  Costs
-                # Pp extra factor assemblies (~20% of the kernel's
-                # marginal time); still far ahead of the XLA tapdict
-                # fallback this replaces (IQUV batches at ~3.2x the P=1
-                # band time, doc/PERFORMANCE.md round-4 IQUV scaling).
+                # (~9 GB jointly) don't fit next to the working set —
+                # run the fused kernel over the largest pol GROUPS whose
+                # planes fit (pairs at 8k IQUV).  Each extra group costs
+                # one factor assembly (~20% of the kernel's marginal
+                # time); still far ahead of the XLA tapdict fallback
+                # this replaces (IQUV batches at ~3.2x the P=1 band
+                # time, doc/PERFORMANCE.md round-4 IQUV scaling).
+                pg = max(1, int(max_gb / (acc_gb / Pp_)))
                 outs = [
                     grid_chunks_fused(
-                        grid_pad[p:p + 1], kernel,
+                        grid_pad[p:p + pg], kernel,
                         None if weights_grid is None
-                        else weights_grid[p:p + 1],
-                        plan_uv, plan_sub, plan_wp, plan_vis[..., p:p + 1],
+                        else weights_grid[p:p + pg],
+                        plan_uv, plan_sub, plan_wp, plan_vis[..., p:p + pg],
                         plan_anchor, plan_valid,
                         None if dw_chunks is None
-                        else dw_chunks[..., p:p + 1],
+                        else dw_chunks[..., p:p + pg],
                         n_chunks, pixels=pixels, ts=ts)
-                    for p in range(Pp_)]
+                    for p in range(0, Pp_, pg)]
                 return jnp.concatenate(outs, axis=0)
         assembly = "tapdict"
     if group is None:

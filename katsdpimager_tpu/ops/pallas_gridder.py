@@ -245,6 +245,45 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                 else:
                     bab = br + bi                             # (Mc, ts2)
 
+                if (band != "kstack" and num_pols > 1 and stage == "full"
+                        and os.environ.get("KTPU_PALLAS_POLSTACK",
+                                           "1") == "1"):
+                    # Polarization-stacked band: all P pols' sample-scaled
+                    # V factors concatenate along the OUTPUT lane axis, so
+                    # the three Gauss dots run once per chunk at P-fold
+                    # output width ((P*ts2, ts2) from one (Mc, P*ts2)
+                    # operand) instead of P times — P-fold fewer MXU
+                    # launches for full-Stokes work at identical flops
+                    # and bitwise-identical sums.
+                    prs, pis = [], []
+                    for p in range(num_pols):
+                        sr = sre_ref[0, g, p][:, None]
+                        si = sim_ref[0, g, p][:, None]
+                        prs.append(ar * sr - ai * si)
+                        pis.append(ar * si + ai * sr)
+                    pr_all = jnp.concatenate(prs, axis=1)   # (Mc, P*ts2)
+                    pi_all = jnp.concatenate(pis, axis=1)
+                    m1 = hdot(pr_all, br)                   # (P*ts2, ts2)
+                    m2 = hdot(pi_all, bi)
+                    m3 = hdot(pr_all + pi_all, bab)
+                    bre_all = m1 - m2
+                    bim_all = m3 - m1 - m2
+                    for p in range(num_pols):
+                        band_re = bre_all[p * ts2:(p + 1) * ts2]
+                        band_im = bim_all[p * ts2:(p + 1) * ts2]
+
+                        @pl.when(first)
+                        def _(p=p, q=q, band_re=band_re, band_im=band_im):
+                            scr_re[q, p] = band_re
+                            scr_im[q, p] = band_im
+
+                        @pl.when(jnp.logical_not(first))
+                        def _(p=p, q=q, band_re=band_re, band_im=band_im):
+                            scr_re[q, p] = scr_re[q, p] + band_re
+                            scr_im[q, p] = scr_im[q, p] + band_im
+                    _flush(cg)
+                    return
+
                 for p in range(num_pols):
                     sr = sre_ref[0, g, p][:, None]
                     si = sim_ref[0, g, p][:, None]

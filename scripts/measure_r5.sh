@@ -20,6 +20,11 @@ run 1800 python benchmarks/slicecost_tpu.py g2i_xla g2i_pallas i2g_xla \
   i2g_pallas
 run 1800 python benchmarks/slicecost_tpu.py --pixels=8192 g2i_xla \
   g2i_pallas i2g_xla i2g_pallas
+# 2c. IQUV band polstack A/B (P-fold fewer MXU launches)
+run 1800 env KTPU_BENCH_POLS=4 python benchmarks/pallas_tpu.py \
+  1048576 4096 60 32 pallas
+run 1800 env KTPU_BENCH_POLS=4 KTPU_PALLAS_POLSTACK=0 \
+  python benchmarks/pallas_tpu.py 1048576 4096 60 32 pallas
 # 3. 8k cube device point (target <= 1.8 s/channel)
 run 2400 python benchmarks/cube_bench.py 8192 21 1
 # 4. IQUV row at the BASELINE design point
