@@ -31,6 +31,8 @@ run 2400 python benchmarks/cube_bench.py 8192 21 1
 run 2400 python benchmarks/cube_bench.py 8192 21 4
 # 5. end-to-end cube wall-clock (dataset -> FITS)
 run 3600 python benchmarks/cube_e2e.py
+# 5b. restore-convolution r2c A/B at 8k
+run 1200 python benchmarks/beam_tpu.py 8192 1
 # 6. post-change device profile
 run 2400 python scripts/device_profile_bench.py
 # 7. production-step A/Bs: fused FFT on the headline shape; step decomp
