@@ -39,6 +39,7 @@ gate).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -166,7 +167,11 @@ def col_fft(xr, xi, sign: int, cw: int = 128, interpret: bool | None = None):
 
 def _default_cw(n: int) -> int:
     """Column-block width: keep the per-block working set well inside
-    VMEM (stages are (N, cw) f32 re/im pairs)."""
+    VMEM (stages are (N, cw) f32 re/im pairs).  KTPU_FFT_CW overrides
+    for on-chip tuning."""
+    env = os.environ.get("KTPU_FFT_CW")
+    if env:
+        return int(env)
     return 128 if n <= 4096 else 64
 
 
