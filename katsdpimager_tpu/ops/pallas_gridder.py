@@ -245,9 +245,43 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
                 else:
                     bab = br + bi                             # (Mc, ts2)
 
-                if (band != "kstack" and num_pols > 1 and stage == "full"
-                        and os.environ.get("KTPU_PALLAS_POLSTACK",
-                                           "1") == "1"):
+                polstack = (num_pols > 1 and stage == "full"
+                            and os.environ.get("KTPU_PALLAS_POLSTACK",
+                                               "1") == "1")
+                if band == "kstack" and polstack:
+                    # kstack x polstack: sample-scaled U factors stack
+                    # along the output lane axis per pol AND along the
+                    # contraction axis per complex part — TWO dots per
+                    # chunk for any P, each (2Mc)-deep and P*ts2 wide.
+                    trs, tis = [], []
+                    for p in range(num_pols):
+                        sr = sre_ref[0, g, p][:, None]
+                        si = sim_ref[0, g, p][:, None]
+                        trs.append(br * sr - bi * si)
+                        tis.append(br * si + bi * sr)
+                    tr_all = jnp.concatenate(trs, axis=1)   # (Mc, P*ts2)
+                    ti_all = jnp.concatenate(tis, axis=1)
+                    bre_all = hdot(fa, jnp.concatenate(
+                        [tr_all, -ti_all], axis=0))         # (ts2, P*ts2)
+                    bim_all = hdot(fa, jnp.concatenate(
+                        [ti_all, tr_all], axis=0))
+                    for p in range(num_pols):
+                        band_re = bre_all[:, p * ts2:(p + 1) * ts2]
+                        band_im = bim_all[:, p * ts2:(p + 1) * ts2]
+
+                        @pl.when(first)
+                        def _(p=p, q=q, band_re=band_re, band_im=band_im):
+                            scr_re[q, p] = band_re
+                            scr_im[q, p] = band_im
+
+                        @pl.when(jnp.logical_not(first))
+                        def _(p=p, q=q, band_re=band_re, band_im=band_im):
+                            scr_re[q, p] = scr_re[q, p] + band_re
+                            scr_im[q, p] = scr_im[q, p] + band_im
+                    _flush(cg)
+                    return
+
+                if band != "kstack" and polstack:
                     # Polarization-stacked band: all P pols' sample-scaled
                     # V factors concatenate along the OUTPUT lane axis, so
                     # the three Gauss dots run once per chunk at P-fold
