@@ -160,6 +160,7 @@ def col_fft(xr, xi, sign: int, cw: int = 128, interpret: bool | None = None):
                    pl.BlockSpec((1, n, cw), im)],
         out_shape=[jax.ShapeDtypeStruct(bshape, jnp.float32),
                    jax.ShapeDtypeStruct(bshape, jnp.float32)],
+        compiler_params=_compiler_params(n, cw),
         interpret=interpret,
     )(xr.reshape(bshape), xi.reshape(bshape), *consts)
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
@@ -168,11 +169,32 @@ def col_fft(xr, xi, sign: int, cw: int = 128, interpret: bool | None = None):
 def _default_cw(n: int) -> int:
     """Column-block width: keep the per-block working set well inside
     VMEM (stages are (N, cw) f32 re/im pairs).  KTPU_FFT_CW overrides
-    for on-chip tuning."""
+    for on-chip tuning.
+
+    Mosaic pads the lane (last) dimension to 128, so cw < 128 saves no
+    VMEM on the (N, cw) I/O blocks — 128 is the only width that is both
+    lane-full and minimal, at every N."""
     env = os.environ.get("KTPU_FFT_CW")
     if env:
         return int(env)
-    return 128 if n <= 4096 else 64
+    return 128
+
+
+def _compiler_params(n: int, cw: int) -> pltpu.CompilerParams:
+    """Raise Mosaic's scoped-VMEM cap for the big column blocks.
+
+    The default 16 MiB cap sizes the compiler's stack for one live
+    (N, 128) f32 re/im pair plus the four-step intermediates; measured
+    on v5e (round 5) the 4k pass needs 16.04 MiB and the 8k fused pass
+    ~40 MiB — both well inside the chip's 128 MiB VMEM.  KTPU_FFT_VMEM_MB
+    overrides."""
+    mb = int(os.environ.get("KTPU_FFT_VMEM_MB", "0"))
+    if not mb:
+        # I/O blocks (in + out re/im) + four-step stage intermediates,
+        # all (N, cw) f32 lane-padded to 128: ~8 live planes, plus slack.
+        planes = 10
+        mb = max(16, (n * max(cw, 128) * 4 * planes) // (1 << 20) + 8)
+    return pltpu.CompilerParams(vmem_limit_bytes=mb << 20)
 
 
 def _make_cb_col_kernel(n1: int, n2: int, cw: int):
@@ -273,6 +295,7 @@ def grid_to_image_fused(grid, imageT, kernel1d, w, pixel_size, *,
                    pl.BlockSpec((1, n, cw), im)],
         out_shape=[jax.ShapeDtypeStruct(gr.shape, jnp.float32),
                    jax.ShapeDtypeStruct(gr.shape, jnp.float32)],
+        compiler_params=_compiler_params(n, cw),
         interpret=interpret,
     )(gr, gi, *consts)
     # relayout between the passes (lanes cannot cross into sublanes
@@ -295,6 +318,7 @@ def grid_to_image_fused(grid, imageT, kernel1d, w, pixel_size, *,
         out_specs=pl.BlockSpec((1, n, cw), im),
         out_shape=jax.ShapeDtypeStruct(imageT.shape, jnp.float32),
         input_output_aliases={11: 0},
+        compiler_params=_compiler_params(n, cw),
         interpret=interpret,
     )(arT, aiT, *consts, k1d.reshape(n, 1), k1d.reshape(1, n), scal,
       imageT.astype(jnp.float32))
@@ -393,6 +417,7 @@ def image_to_grid_fused(imageT, kernel1d, w, pixel_size, *, pixels: int,
                    pl.BlockSpec((1, n, cw), im)],
         out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32),
                    jax.ShapeDtypeStruct(shape, jnp.float32)],
+        compiler_params=_compiler_params(n, cw),
         interpret=interpret,
     )(imageT.astype(jnp.float32), *consts, k1d.reshape(n, 1),
       k1d.reshape(1, n), scal)
@@ -407,6 +432,7 @@ def image_to_grid_fused(imageT, kernel1d, w, pixel_size, *, pixels: int,
                    pl.BlockSpec((1, n, cw), im)],
         out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32),
                    jax.ShapeDtypeStruct(shape, jnp.float32)],
+        compiler_params=_compiler_params(n, cw),
         interpret=interpret,
     )(arT, aiT, *consts)
     return lax.complex(gr, gi)
