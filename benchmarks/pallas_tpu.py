@@ -105,7 +105,8 @@ def run_point(n, pixels, K, W, which, degrid=False) -> None:
                 p[0], p[1], p[2], wtj,
                 lax.complex(vp[..., 0], vp[..., 1]),
                 p[3], p[4], nc,
-                pixels=pixels, rv=TS, ru=TS, assembly=assembly)
+                pixels=pixels, rv=TS, ru=TS, assembly=assembly,
+                tile_aligned=True)
             return jnp.sum(jnp.abs(out))
 
         if degrid:

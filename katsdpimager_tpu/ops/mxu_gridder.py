@@ -941,7 +941,8 @@ def default_assembly() -> str:
 def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
                        plan_vis, plan_anchor, plan_valid, n_chunks=None, *,
                        pixels: int, rv: int, ru: int,
-                       group: int | None = None, assembly: str = "fft"):
+                       group: int | None = None, assembly: str = "fft",
+                       tile_aligned: bool = False):
     """Predict + subtract for all chunks; returns updated (C, Mc, P) vis.
 
     Chunk windows are read-only, so chunks evaluate in parallel (vmap)
@@ -954,10 +955,14 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
     through unchanged.
     """
     if assembly == "pallas":
-        # Fused Mosaic degrid (tile-aligned plans only — anchors from
-        # plan_chunks_tiled with offsets in [0, ts)); same window
-        # constraint as the grid kernel.
-        if rv == ru and kernel.shape[-1] + rv - 1 <= 2 * rv:
+        # Fused Mosaic degrid.  ``tile_aligned`` is a STATIC promise that
+        # anchors are multiples of ``rv`` (plan_chunks_tiled / the native
+        # wave pack): the kernel's window DMA passes tile indices so
+        # Mosaic can PROVE the HBM slice offsets (8, 128)-aligned — a raw
+        # bbox anchor fails to compile on real TPU (round-5 8k cube).
+        # Same window constraint as the grid kernel.
+        if (tile_aligned and rv == ru
+                and kernel.shape[-1] + rv - 1 <= 2 * rv):
             from .pallas_gridder import degrid_chunks_fused
 
             pred = degrid_chunks_fused(
@@ -1141,7 +1146,7 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
 degrid_chunks = partial(
     jax.jit,
     static_argnames=("pixels", "rv", "ru", "group",
-                     "assembly"))(degrid_chunks_impl)
+                     "assembly", "tile_aligned"))(degrid_chunks_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -1252,7 +1257,8 @@ class MxuGridder:
                 jnp.asarray(plan.valid))
         return degrid_chunks(*args, occupied_chunks(args[-1]),
                              pixels=self.pixels, rv=self.rv,
-                             ru=self.ru, assembly=default_assembly())
+                             ru=self.ru, assembly=default_assembly(),
+                             tile_aligned=self.mode == "dense")
 
     def upload_plan(self, plan: ChunkPlan) -> ChunkPlan:
         """Upload the plan's coordinate fields to the device ONCE.

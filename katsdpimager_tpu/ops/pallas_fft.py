@@ -190,9 +190,13 @@ def _compiler_params(n: int, cw: int) -> pltpu.CompilerParams:
     overrides."""
     mb = int(os.environ.get("KTPU_FFT_VMEM_MB", "0"))
     if not mb:
-        # I/O blocks (in + out re/im) + four-step stage intermediates,
-        # all (N, cw) f32 lane-padded to 128: ~8 live planes, plus slack.
-        planes = 10
+        # I/O blocks (in + out re/im + aliased image) + four-step stage
+        # intermediates (two Gauss dots' six products, corner-turn
+        # copies) + the epilogue's trig/common factors, all (N, cw) f32
+        # planes lane-padded to 128.  The epilogue kernel measured
+        # 33.24 MiB live at N=4096 on v5e (round 5), i.e. ~17 planes;
+        # size for 18 plus slack.
+        planes = 18
         mb = max(16, (n * max(cw, 128) * 4 * planes) // (1 << 20) + 8)
     return pltpu.CompilerParams(vmem_limit_bytes=mb << 20)
 

@@ -556,6 +556,8 @@ def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, mc: int,
     parity: reference degrid.mako / grid.py:1138-1155 accumulate the
     identical tap-weighted window sums per visibility)."""
 
+    ts = ts2 // 2
+
     def kernel(av_ref, au_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
                gr_ref, gi_ref, tab_ref, outr_ref, outi_ref,
                win_re, win_im, sem_re, sem_im):
@@ -563,10 +565,15 @@ def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, mc: int,
         n = n_ref[0]
 
         def win_dma(cg, q):
-            src_r = gr_ref.at[:, pl.ds(av_ref[cg], ts2),
-                              pl.ds(au_ref[cg], ts2)]
-            src_i = gi_ref.at[:, pl.ds(av_ref[cg], ts2),
-                              pl.ds(au_ref[cg], ts2)]
+            # Anchors arrive as TILE indices and are scaled here: Mosaic
+            # must PROVE the HBM slice's sublane offset divisible by the
+            # (8, 128) tiling, and ``t * ts`` is provably aligned where a
+            # raw prefetched offset is not (measured: 8k cube compile
+            # failure, round 5).
+            src_r = gr_ref.at[:, pl.ds(av_ref[cg] * ts, ts2),
+                              pl.ds(au_ref[cg] * ts, ts2)]
+            src_i = gi_ref.at[:, pl.ds(av_ref[cg] * ts, ts2),
+                              pl.ds(au_ref[cg] * ts, ts2)]
             return (pltpu.make_async_copy(src_r, win_re.at[q],
                                           sem_re.at[q]),
                     pltpu.make_async_copy(src_i, win_im.at[q],
@@ -675,8 +682,13 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
     def padc(a):
         return jnp.pad(a, [(0, NCp - NC)] + [(0, 0)] * (a.ndim - 1))
 
-    av = jnp.clip(padc(plan_anchor[:, 0]).astype(jnp.int32), 0, ext - TS2)
-    au = jnp.clip(padc(plan_anchor[:, 1]).astype(jnp.int32), 0, ext - TS2)
+    # Tile indices, not pixel offsets: plan_chunks_tiled anchors are
+    # multiples of ts, and the kernel rescales so the DMA offset is
+    # provably (8, 128)-aligned for Mosaic.
+    av = jnp.clip(padc(plan_anchor[:, 0]).astype(jnp.int32), 0,
+                  ext - TS2) // ts
+    au = jnp.clip(padc(plan_anchor[:, 1]).astype(jnp.int32), 0,
+                  ext - TS2) // ts
 
     def im_chunk(i, av_r, au_r, n_r):
         return (i, 0, 0)

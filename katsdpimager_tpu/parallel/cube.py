@@ -192,7 +192,8 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
                 gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
                 nc_s,
                 pixels=N, rv=cfg.rv, ru=cfg.ru,
-                assembly=mxu_gridder.default_assembly())
+                assembly=mxu_gridder.default_assembly(),
+                tile_aligned=True)
 
         # An empty slice has nothing to degrid: skip its model FFT and
         # keep the stored (all-invalid) visibilities unchanged.

@@ -130,6 +130,48 @@ def test_degrid_assembly_matches_oracle(assembly):
     np.testing.assert_allclose(out, expected, rtol=2e-3, atol=2e-3)
 
 
+def test_degrid_pallas_tile_aligned_matches_oracle():
+    """The fused Pallas degrid kernel on a TILE-ALIGNED plan.
+
+    ``tile_aligned=True`` is the static promise that selects the fused
+    kernel (its window DMA passes tile indices so Mosaic can prove the
+    HBM slice offsets aligned); bbox plans (scan mode) must NOT set it
+    and take the shifted-tap fallback — covered by
+    test_degrid_assembly_matches_oracle[pallas] above."""
+    rng = np.random.default_rng(31)
+    kernel, uv, sub_uv, w_plane, vis, weights, wg = random_case(rng)
+    pixels = wg.shape[-1]
+    pols = vis.shape[1]
+    grid = (rng.normal(size=(pols, pixels, pixels))
+            + 1j * rng.normal(size=(pols, pixels, pixels))
+            ).astype(np.complex64)
+
+    ts = 32
+    plan = mxu_gridder.plan_chunks_tiled(
+        uv, sub_uv, w_plane, vis, weights,
+        pixels=pixels, kernel_width=kernel.shape[-1], ts=ts, mc=64)
+    assert np.all(plan.anchor % ts == 0)
+    ext = mxu_gridder.dense_pad_size(pixels, ts)
+    gpad = jnp.pad(jnp.asarray(grid),
+                   ((0, 0), (0, ext - pixels), (0, ext - pixels)))
+    out_chunked = mxu_gridder.degrid_chunks_impl(
+        gpad, jnp.asarray(kernel), jnp.asarray(plan.uv),
+        jnp.asarray(plan.sub_uv), jnp.asarray(plan.w_plane),
+        jnp.asarray(plan.weights), jnp.asarray(plan.vis),
+        jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+        pixels=pixels, rv=ts, ru=ts, assembly="pallas",
+        tile_aligned=True)
+
+    expected = gridder.degrid_vis_reference(
+        grid, kernel, uv, sub_uv, w_plane, weights, vis)
+    got = np.zeros_like(expected)
+    got[...] = np.nan
+    oc = np.asarray(out_chunked)
+    for r, (c, s) in enumerate(zip(plan.row_chunk, plan.row_slot)):
+        got[r] = oc[c, s]
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
 def test_autotune_measures_and_caches(tmp_path, monkeypatch):
     from katsdpimager_tpu.ops import autotune
 
