@@ -71,7 +71,9 @@ def _probe_accelerator() -> dict:
     the output JSON so a fallback can never be misread as a regression.
 
     Budget knob: KTPU_BENCH_PROBE_TIMEOUT (seconds per attempt, default
-    600).  KTPU_BENCH_FORCE_CPU=1 skips the probe entirely."""
+    900 — a cold tunnel's first tiny op measured 564 s in round 5, so
+    600 was one hiccup away from a false fallback).
+    KTPU_BENCH_FORCE_CPU=1 skips the probe entirely."""
     import subprocess
     import sys
     import time as _time
@@ -101,7 +103,7 @@ s = float(jnp.abs(f(x)).sum())
 print("warm_s", round(time.time() - t0, 1), flush=True)
 print("platform", devs[0].platform, flush=True)
 """
-    timeout_s = int(os.environ.get("KTPU_BENCH_PROBE_TIMEOUT", "600"))
+    timeout_s = int(os.environ.get("KTPU_BENCH_PROBE_TIMEOUT", "900"))
     attempts = []
     for attempt in range(2):
         if attempt:

@@ -88,7 +88,13 @@ def main():
     argv = [ds, out, "--cube", "--pixels", str(pixels),
             "--kernel-width", "60" if on_accel else "12",
             "--minor", "1000" if on_accel else "100", "--major", "2",
-            "--loop-gain", "0.25"]
+            "--loop-gain", "0.25",
+            # Production-like W geometry (BASELINE: 4 slices): the sim's
+            # 4 km baselines at the default --w-step 1.0 would demand
+            # >4096 planes/slice, past the packed sort key's 10-bit
+            # budget (preprocess.ChannelGeometry); step 8 lands in the
+            # production 32-512 planes/slice band.
+            "--w-slices", "4", "--w-step", "8"]
     t0 = time.monotonic()
     pipeline_cli.main(argv)
     total = time.monotonic() - t0
