@@ -35,14 +35,13 @@ from katsdpimager_tpu.ops import mxu_gridder  # noqa: E402
 
 def main() -> None:
     on_accel = jax.devices()[0].platform != "cpu"
-    ns = ([int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ns = ([int(x) for x in pos[0].split(",")] if len(pos) > 0
           else [(1 << 20) if on_accel else (1 << 14)])
-    pixels = int(sys.argv[2]) if len(sys.argv) > 2 else (
-        4096 if on_accel else 512)
-    K = int(sys.argv[3]) if len(sys.argv) > 3 else (60 if on_accel else 16)
-    W = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    which = [a for a in sys.argv[5:] if not a.startswith("--")] \
-        or ["tapdict", "pallas"]
+    pixels = int(pos[1]) if len(pos) > 1 else (4096 if on_accel else 512)
+    K = int(pos[2]) if len(pos) > 2 else (60 if on_accel else 16)
+    W = int(pos[3]) if len(pos) > 3 else 32
+    which = pos[4:] or ["tapdict", "pallas"]
     degrid = "--degrid" in sys.argv
     for n in ns:
         run_point(n, pixels, K, W, which, degrid)

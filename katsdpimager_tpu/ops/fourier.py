@@ -25,9 +25,10 @@ The fftshifts are eliminated algebraically: for even N a half-period
 shift on either side of a DFT is a Nyquist modulation, so both the input
 ifftshift and the output fftshift fold into (-1)^(x+y) checkerboards that
 fuse into the elementwise chains (zero memory passes) — see
-``_checkerboard``.  On TPU-class backends the transform itself routes to
-the MXU four-step FFT (:mod:`.fft`); the XLA FFT custom call remains the
-CPU path (KTPU_FFT=mxu|xla overrides).
+``_checkerboard``.  On TPU the whole transform+corrections pipeline
+routes to the fused Pallas four-step FFT (:mod:`.pallas_fft`, the
+round-5 measured default — see :func:`_use_pallas_fft`); the XLA FFT
+custom call remains the CPU path (KTPU_FFT=xla|mxu|pallas overrides).
 """
 
 from __future__ import annotations
@@ -44,12 +45,18 @@ from . import fft as mfft
 def _use_pallas_fft(pixels: int, *dtypes) -> bool:
     """Route the grid<->image transforms through the fused Pallas
     four-step kernels (:mod:`.pallas_fft`): FFT + corrections in two
-    kernel launches and one relayout.  Opt-in (KTPU_FFT=pallas) until
-    the on-chip A/B lands; f32/c64 only (--precision double keeps the
-    XLA path, as the fused kernels are f32 MXU code)."""
+    kernel launches and one relayout.  The TPU default since the round-5
+    on-chip A/B (g2i 6.20 vs 7.44 ms at 4k, 18.53 vs 27.01 ms at 8k;
+    i2g 6.14/17.83 vs 7.16/24.78; identical checksums; whole-bench
+    24.4 -> 26.9 Mvis/s) — KTPU_FFT=xla|mxu opts out.  f32/c64 only
+    (--precision double keeps the XLA path, as the fused kernels are
+    f32 MXU code)."""
     from . import pallas_fft
 
-    return (os.environ.get("KTPU_FFT", "").lower() == "pallas"
+    env = os.environ.get("KTPU_FFT", "").lower()
+    want = (env == "pallas" if env
+            else jax.default_backend() == "tpu")
+    return (want
             and pixels >= 256
             and pallas_fft._split(pixels) is not None
             and pixels % pallas_fft._default_cw(pixels) == 0

@@ -88,7 +88,8 @@ def _select_shift(tab_ref, idx, sh, mc: int, wo: int, ts2: int,
     bf16-split table: one-hot MXU selection as ONE wide dot (exact — a
     one-hot row has a single 1.0 and hi+mid+lo == f32), then one native
     lane gather for the shift (the roll/select ladder costs ~6x more,
-    measured)."""
+    measured).  The gather requires ts2 <= 128: Mosaic's dynamic lane
+    gather reads from a single source vreg (measured round 5)."""
     if stage == "nosel":
         fr = tab_ref[:mc, :ts2].astype(jnp.float32)
         fi = tab_ref[:mc, 3 * ts2:4 * ts2].astype(jnp.float32)
@@ -546,9 +547,9 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     return total
 
 
-def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, mc: int,
-                        gc: int, ng: int):
-    """Fused degrid kernel body: per chunk, DMA the (P, ts2, ts2) model
+def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, ts2l: int,
+                        mc: int, gc: int, ng: int):
+    """Fused degrid kernel body: per chunk, DMA the (P, ts2, ts2l) model
     window at the scalar-prefetched anchor (double-buffered one chunk
     ahead), assemble the UNCONJUGATED tap factors in VMEM and evaluate
     the bilinear prediction ``pred[m] = sum_{jk} kv[m,j] W[j,k] ku[m,k]``
@@ -558,22 +559,25 @@ def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, mc: int,
 
     ts = ts2 // 2
 
-    def kernel(av_ref, au_ref, n_ref, iu_ref, iv_ref, su_ref, sv_ref,
-               gr_ref, gi_ref, tab_ref, outr_ref, outi_ref,
+    def kernel(av_ref, au_ref, ar_ref, n_ref, iu_ref, iv_ref, su_ref,
+               sv_ref, gr_ref, gi_ref, tab_ref, outr_ref, outi_ref,
                win_re, win_im, sem_re, sem_im):
         i = pl.program_id(0)
         n = n_ref[0]
 
         def win_dma(cg, q):
-            # Anchors arrive as TILE indices and are scaled here: Mosaic
-            # must PROVE the HBM slice's sublane offset divisible by the
-            # (8, 128) tiling, and ``t * ts`` is provably aligned where a
-            # raw prefetched offset is not (measured: 8k cube compile
-            # failure, round 5).
+            # Row anchors arrive as TILE indices (x ts here, ts % 8 == 0
+            # so the sublane offset is provably aligned); column anchors
+            # arrive PRE-DIVIDED by the 128-lane tiling (x 128 here) with
+            # the ts-level remainder selecting the effective window slice
+            # (``win_eff``), because Mosaic must PROVE the lane offset
+            # divisible by 128 and ``t * ts`` with ts == 64 is not
+            # (measured: 8k cube / 4k cube_e2e compile failures, round 5
+            # sweeps A and B).
             src_r = gr_ref.at[:, pl.ds(av_ref[cg] * ts, ts2),
-                              pl.ds(au_ref[cg] * ts, ts2)]
+                              pl.ds(au_ref[cg] * 128, ts2l)]
             src_i = gi_ref.at[:, pl.ds(av_ref[cg] * ts, ts2),
-                              pl.ds(au_ref[cg] * ts, ts2)]
+                              pl.ds(au_ref[cg] * 128, ts2l)]
             return (pltpu.make_async_copy(src_r, win_re.at[q],
                                           sem_re.at[q]),
                     pltpu.make_async_copy(src_i, win_im.at[q],
@@ -612,9 +616,25 @@ def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, mc: int,
                         x, y, dnk, preferred_element_type=jnp.float32,
                         precision=_HI)
 
+                def win_eff(wref):
+                    # The DMA'd window starts at the 128-aligned column
+                    # below the anchor; the anchor's ts2-wide window is
+                    # the static ts2-column slice at the remainder, one
+                    # of the 128//ts static candidates selected by the
+                    # prefetched per-chunk scalar.  Static lane-offset
+                    # slices + scalar selects compile where a dynamic
+                    # lane gather wider than one vreg does not (Mosaic:
+                    # "Multiple source vregs along gather dimension").
+                    w = wref[:, 0:ts2]
+                    for r in range(ts, 128, ts):
+                        if r + ts2 <= ts2l:
+                            w = jnp.where(ar_ref[cg] == r,
+                                          wref[:, r:r + ts2], w)
+                    return w
+
                 for p in range(num_pols):
-                    wr = win_re[q, p]
-                    wi = win_im[q, p]
+                    wr = win_eff(win_re[q, p])
+                    wi = win_eff(win_im[q, p])
                     # B[m, j] = sum_k W[j, k] ku[m, k] (complex, Gauss)
                     m1 = hdot(ur, wr)
                     m2 = hdot(ui, wi)
@@ -647,11 +667,17 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
     NC, Mc = plan_wp.shape
     TS2 = 2 * ts
     assert K + ts - 1 <= TS2, "kernel must fit the 2-tile band window"
+    assert ts % 8 == 0, "row DMA offsets must be sublane-aligned"
+    # The window's lane (u) extent: when ts is not a multiple of the
+    # 128-lane tiling, the DMA starts at the aligned column BELOW the
+    # anchor and the remainder is folded into the u tap shift, so the
+    # window must carry one extra lane tile (Mosaic alignment proof).
+    TS2L = TS2 if ts % 128 == 0 else TS2 + 128
     from .mxu_gridder import dense_pad_size
 
     ext = dense_pad_size(Np, ts)
     gpad = jnp.pad(grid, ((0, 0), (0, ext - grid.shape[1]),
-                          (0, ext - grid.shape[2])))
+                          (0, ext + (TS2L - TS2) - grid.shape[2])))
     gre = jnp.real(gpad).astype(jnp.float32)
     gim = jnp.imag(gpad).astype(jnp.float32)
 
@@ -661,6 +687,11 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
     # bbox (non-tiled) plans bound offsets by ts inclusive; anything up
     # to TS2 - K keeps the shifted taps inside the window.
     sh_max = TS2 - K
+    # Column anchors DMA from the 128-aligned column at/below the anchor;
+    # the remainder (a multiple of ts, < 128) selects the anchor's
+    # ts2-wide slice of the TS2L-wide window inside the kernel.
+    au_px = jnp.clip(plan_anchor[:, 1].astype(jnp.int32), 0, ext - TS2)
+    au_rem = au_px % 128
     su = jnp.clip(plan_uv[..., 0].astype(jnp.int32) - uv_bias
                   - plan_anchor[:, None, 1], 0, sh_max)
     sv = jnp.clip(plan_uv[..., 1].astype(jnp.int32) - uv_bias
@@ -682,22 +713,22 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
     def padc(a):
         return jnp.pad(a, [(0, NCp - NC)] + [(0, 0)] * (a.ndim - 1))
 
-    # Tile indices, not pixel offsets: plan_chunks_tiled anchors are
-    # multiples of ts, and the kernel rescales so the DMA offset is
-    # provably (8, 128)-aligned for Mosaic.
+    # Pre-divided DMA indices (rows in ts-tiles, columns in 128-lane
+    # tiles): the kernel rescales by the matching constants so Mosaic can
+    # PROVE the HBM slice offsets (8, 128)-aligned.
     av = jnp.clip(padc(plan_anchor[:, 0]).astype(jnp.int32), 0,
                   ext - TS2) // ts
-    au = jnp.clip(padc(plan_anchor[:, 1]).astype(jnp.int32), 0,
-                  ext - TS2) // ts
+    au = padc(au_px) // 128
+    ar = padc(au_rem)
 
-    def im_chunk(i, av_r, au_r, n_r):
+    def im_chunk(i, av_r, au_r, ar_r, n_r):
         return (i, 0, 0)
 
-    def im_out(i, av_r, au_r, n_r):
+    def im_out(i, av_r, au_r, ar_r, n_r):
         return (i, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((1, G, Mc), im_chunk),      # iu
@@ -713,19 +744,19 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
             pl.BlockSpec((1, G, Pp, Mc), im_out),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Pp, TS2, TS2), jnp.float32),
-            pltpu.VMEM((2, Pp, TS2, TS2), jnp.float32),
+            pltpu.VMEM((2, Pp, TS2, TS2L), jnp.float32),
+            pltpu.VMEM((2, Pp, TS2, TS2L), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     pre, pim = pl.pallas_call(
-        _make_degrid_kernel(Pp, W * O, TS2, Mc, G, ng),
+        _make_degrid_kernel(Pp, W * O, TS2, TS2L, Mc, G, ng),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ng, G, Pp, Mc), jnp.float32),
                    jax.ShapeDtypeStruct((ng, G, Pp, Mc), jnp.float32)],
         interpret=interpret,
-    )(av, au, n_arr,
+    )(av, au, ar, n_arr,
       padc(iu).reshape(ng, G, Mc), padc(iv).reshape(ng, G, Mc),
       padc(su).reshape(ng, G, Mc), padc(sv).reshape(ng, G, Mc),
       gre, gim, tab)
