@@ -143,6 +143,40 @@ grid_to_image = partial(jax.jit, static_argnames=("pixels",),
                         donate_argnums=(1,))(grid_to_image_impl)
 
 
+def grid_to_image_parts_impl(gr, gi, image, kernel1d, w, pixel_size, *,
+                             pixels: int):
+    """:func:`grid_to_image_impl` taking the grid as (P, N, N) f32 re/im
+    planes (the fused gridder combine's output layout): on the Pallas
+    path the planes feed the FFT pass directly — no complex64 grid is
+    materialized anywhere between gridding and dirty accumulation."""
+    rdtype = image.dtype
+    if _use_pallas_fft(pixels, rdtype, gr.dtype):
+        from .pallas_fft import grid_to_image_fused_parts
+
+        outT = grid_to_image_fused_parts(
+            gr, gi, jnp.swapaxes(image, -1, -2), kernel1d, w, pixel_size,
+            pixels=pixels)
+        return jnp.swapaxes(outT, -1, -2).astype(rdtype)
+    return grid_to_image_impl(jax.lax.complex(gr, gi), image, kernel1d,
+                              w, pixel_size, pixels=pixels)
+
+
+def image_to_grid_parts_impl(image, kernel1d, w, pixel_size, *,
+                             pixels: int):
+    """:func:`image_to_grid_impl` returning (P, N, N) f32 re/im planes
+    (the fused degrid's input layout)."""
+    rdtype = image.dtype
+    if _use_pallas_fft(pixels, rdtype):
+        from .pallas_fft import image_to_grid_fused_parts
+
+        return image_to_grid_fused_parts(
+            jnp.swapaxes(image, -1, -2), kernel1d, w, pixel_size,
+            pixels=pixels)
+    g = image_to_grid_impl(image, kernel1d, w, pixel_size, pixels=pixels)
+    return (jnp.real(g).astype(jnp.float32),
+            jnp.imag(g).astype(jnp.float32))
+
+
 def grid_to_image_batched_impl(grids, image, kernel1d, ws, pixel_size, *,
                                pixels: int):
     """W-stacked accumulation with ALL slices transformed in one batch.

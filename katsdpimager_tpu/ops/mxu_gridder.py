@@ -908,6 +908,64 @@ def dense_pad_size(pixels: int, ts: int) -> int:
     return ts + nt2 * 2 * ts
 
 
+def grid_chunks_parts_impl(kernel, weights_grid, plan_uv, plan_sub,
+                           plan_wp, plan_vis, plan_anchor, plan_valid,
+                           dw_chunks=None, n_chunks=None, *, pixels: int,
+                           ts: int, assembly: str = "fft"):
+    """Grid straight to cropped (P, N, N) f32 ``(gr, gi)`` planes — the
+    fused-FFT input layout.
+
+    Zero base grid (callers with a running grid use
+    :func:`grid_chunks_dense_impl`).  With ``assembly="pallas"`` the
+    colour-plane combine runs as a Pallas kernel
+    (:func:`.pallas_gridder.combine_planes_fused`) and no (P, ext, ext)
+    complex64 grid is ever materialized; other assemblies (and the
+    oversize/wide-K fallbacks, same rules as grid_chunks_dense_impl)
+    build the complex grid and split it."""
+    Pp_ = plan_vis.shape[-1]
+    if assembly == "pallas":
+        ntv = -(-pixels // ts) + 1
+        nt2 = -(-ntv // 2) + 1
+        ext2 = nt2 * 2 * ts
+        acc_gb = 4 * Pp_ * ext2 * ext2 * 4 * 2 / 1e9
+        max_gb = float(os.environ.get("KTPU_PALLAS_MAX_ACC_GB", "4.0"))
+        if kernel.shape[-1] + ts - 1 <= 2 * ts:
+            from .pallas_gridder import grid_chunks_fused_parts
+
+            if acc_gb <= max_gb:
+                return grid_chunks_fused_parts(
+                    kernel, weights_grid, plan_uv, plan_sub, plan_wp,
+                    plan_vis, plan_anchor, plan_valid, dw_chunks,
+                    n_chunks, pixels=pixels, ts=ts)
+            if acc_gb / Pp_ <= max_gb and Pp_ > 1:
+                # Same polarization-group split as grid_chunks_dense_impl
+                # (8k full-Stokes accumulators exceed HBM headroom).
+                pg = max(1, int(max_gb / (acc_gb / Pp_)))
+                outs = [
+                    grid_chunks_fused_parts(
+                        kernel,
+                        None if weights_grid is None
+                        else weights_grid[p:p + pg],
+                        plan_uv, plan_sub, plan_wp, plan_vis[..., p:p + pg],
+                        plan_anchor, plan_valid,
+                        None if dw_chunks is None
+                        else dw_chunks[..., p:p + pg],
+                        n_chunks, pixels=pixels, ts=ts)
+                    for p in range(0, Pp_, pg)]
+                return (jnp.concatenate([o[0] for o in outs], axis=0),
+                        jnp.concatenate([o[1] for o in outs], axis=0))
+        assembly = "tapdict"
+    ext = dense_pad_size(pixels, ts)
+    gpad = jnp.zeros((Pp_, ext, ext), jnp.complex64)
+    gpad = grid_chunks_dense_impl(
+        gpad, kernel, weights_grid, plan_uv, plan_sub, plan_wp, plan_vis,
+        plan_anchor, plan_valid, dw_chunks, n_chunks,
+        pixels=pixels, ts=ts, assembly=assembly)
+    g = gpad[:, :pixels, :pixels]
+    return (jnp.real(g).astype(jnp.float32),
+            jnp.imag(g).astype(jnp.float32))
+
+
 grid_chunks_dense = partial(jax.jit,
                             static_argnames=("pixels", "ts", "group",
                                              "assembly"),
@@ -945,12 +1003,15 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
                        tile_aligned: bool = False):
     """Predict + subtract for all chunks; returns updated (C, Mc, P) vis.
 
-    Chunk windows are read-only, so chunks evaluate in parallel (vmap)
-    within memory-bounded groups.  ``assembly`` as in
-    :func:`grid_chunks_dense_impl`: ``"matmul"`` evaluates the transposed
-    spectral form ``predicted = (Sv (G win G^T)) . Su`` with no iFFT;
-    ``"tapsmm"`` materializes taps with one large GEMM per group.
-    ``n_chunks`` (traced scalar) bounds the group loop to occupied chunks
+    ``grid`` is the (P, >=N, >=N) complex model grid, or an f32
+    ``(gre, gim)`` pair on the fused-Pallas path (converted here when a
+    fallback assembly needs complex).  Chunk windows are read-only, so
+    chunks evaluate in parallel (vmap) within memory-bounded groups.
+    ``assembly`` as in :func:`grid_chunks_dense_impl`: ``"matmul"``
+    evaluates the transposed spectral form
+    ``predicted = (Sv (G win G^T)) . Su`` with no iFFT; ``"tapsmm"``
+    materializes taps with one large GEMM per group.  ``n_chunks``
+    (traced scalar) bounds the group loop to occupied chunks
     (occupied-first layouts); unprocessed padding chunks pass their vis
     through unchanged.
     """
@@ -971,6 +1032,8 @@ def degrid_chunks_impl(grid, kernel, plan_uv, plan_sub, plan_wp, plan_wt,
             pred = pred * plan_valid[..., None]
             return plan_vis - plan_wt * pred.astype(plan_vis.dtype)
         assembly = "tapdict"
+    if isinstance(grid, tuple):
+        grid = jax.lax.complex(grid[0], grid[1])
     if group is None:
         group = 128 if assembly != "fft" else 512
     K = kernel.shape[-1]

@@ -275,9 +275,22 @@ def grid_to_image_fused(grid, imageT, kernel1d, w, pixel_size, *,
     keep the dirty transposed across the W-slice loop (the factors are
     symmetric) and transpose once per channel.
     """
+    return grid_to_image_fused_parts(
+        jnp.real(grid).astype(jnp.float32),
+        jnp.imag(grid).astype(jnp.float32),
+        imageT, kernel1d, w, pixel_size, pixels=pixels,
+        interpret=interpret)
+
+
+def grid_to_image_fused_parts(gr, gi, imageT, kernel1d, w, pixel_size, *,
+                              pixels: int, interpret: bool | None = None):
+    """:func:`grid_to_image_fused` taking the grid as separate (P, N, N)
+    f32 re/im planes — the layout the fused gridder combine
+    (:func:`.pallas_gridder.combine_planes_fused`) emits, so no complex64
+    grid is ever materialized between gridding and FFT."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    Pp = grid.shape[0]
+    Pp = gr.shape[0]
     n = pixels
     n1, n2 = _split(n)
     cw = _default_cw(n)
@@ -287,8 +300,6 @@ def grid_to_image_fused(grid, imageT, kernel1d, w, pixel_size, *,
     def im(b, c):
         return (b, 0, c)
 
-    gr = jnp.real(grid).astype(jnp.float32)
-    gi = jnp.imag(grid).astype(jnp.float32)
     # pass A: columns of (grid * cb)
     ar, ai = pl.pallas_call(
         _make_cb_col_kernel(n1, n2, cw),
@@ -394,6 +405,16 @@ def image_to_grid_fused(imageT, kernel1d, w, pixel_size, *, pixels: int,
     (P, N, N) complex64 grid, centre at the middle:
     ``colfft(swap(colfft(layerT))) == fft2(layer)``.
     """
+    gr, gi = image_to_grid_fused_parts(imageT, kernel1d, w, pixel_size,
+                                       pixels=pixels, interpret=interpret)
+    return lax.complex(gr, gi)
+
+
+def image_to_grid_fused_parts(imageT, kernel1d, w, pixel_size, *,
+                              pixels: int, interpret: bool | None = None):
+    """:func:`image_to_grid_fused` returning separate (P, N, N) f32
+    re/im planes — the layout the fused degrid window DMA consumes, so
+    no complex64 grid is materialized between FFT and degridding."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Pp = imageT.shape[0]
@@ -439,7 +460,7 @@ def image_to_grid_fused(imageT, kernel1d, w, pixel_size, *, pixels: int,
         compiler_params=_compiler_params(n, cw),
         interpret=interpret,
     )(arT, aiT, *consts)
-    return lax.complex(gr, gi)
+    return gr, gi
 
 
 def fft2_pallas(x, sign: int = -1, interpret: bool | None = None):

@@ -382,22 +382,19 @@ def _make_kernel(num_pols: int, wo: int, ts2: int, mc: int, gc: int,
     return kernel
 
 
-def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
-                      plan_wp, plan_vis, plan_anchor, plan_valid,
-                      dw_chunks=None, n_chunks=None, *, pixels: int,
-                      ts: int, interpret: bool | None = None):
-    """Fused-Pallas twin of :func:`.mxu_gridder.grid_chunks_dense_impl`.
-
-    Same contract: ``grid_pad`` is the (P, ext, ext) complex padded
-    working grid (``dense_pad_size``); anchors tile-aligned; returns the
-    updated grid_pad.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _grid_chunks_planes(kernel, weights_grid, plan_uv, plan_sub,
+                        plan_wp, plan_vis, plan_anchor, plan_valid,
+                        dw_chunks, n_chunks, *, pixels: int, ts: int,
+                        num_pols: int, interpret: bool):
+    """Run the fused gridder kernel; return its raw colour-plane
+    accumulators ``(accr, acci)`` — each flat image-layout
+    (2, 2, P, ext2, ext2) f32, UNWRITTEN slots uninitialized — plus the
+    per-tile occupancy mask (2, 2, nt2, nt2) that marks which slots the
+    kernel wrote."""
     K = kernel.shape[-1]
     W, O = kernel.shape[0], kernel.shape[1]
     Np = pixels
-    Pp = grid_pad.shape[0]
+    Pp = num_pols
     NC, Mc = plan_wp.shape
     TS2 = 2 * ts
     assert K + ts - 1 <= TS2, "kernel must fit the 2-tile band window"
@@ -527,6 +524,29 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
     # and must be masked (with where — a multiply would propagate NaNs).
     occ = jnp.zeros((4 * nt2 * nt2,), bool).at[slot].max(
         jnp.arange(NC) < n_arr[0]).reshape(2, 2, nt2, nt2)
+    return accr, acci, occ
+
+
+def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
+                      plan_wp, plan_vis, plan_anchor, plan_valid,
+                      dw_chunks=None, n_chunks=None, *, pixels: int,
+                      ts: int, interpret: bool | None = None):
+    """Fused-Pallas twin of :func:`.mxu_gridder.grid_chunks_dense_impl`.
+
+    Same contract: ``grid_pad`` is the (P, ext, ext) complex padded
+    working grid (``dense_pad_size``); anchors tile-aligned; returns the
+    updated grid_pad.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Pp = grid_pad.shape[0]
+    TS2 = 2 * ts
+    accr, acci, occ = _grid_chunks_planes(
+        kernel, weights_grid, plan_uv, plan_sub, plan_wp, plan_vis,
+        plan_anchor, plan_valid, dw_chunks, n_chunks,
+        pixels=pixels, ts=ts, num_pols=Pp, interpret=interpret)
+    nt2 = occ.shape[-1]
+    ext2 = nt2 * TS2
 
     # Four pad-shifted colour-plane adds, one fused elementwise pass:
     # dense_pad_size == ts + ext2, so plane (a, b) pads exactly
@@ -545,6 +565,133 @@ def grid_chunks_fused(grid_pad, kernel, weights_grid, plan_uv, plan_sub,
                 lax.complex(pr, pi).astype(grid_pad.dtype),
                 ((0, 0), (a * ts, ts - a * ts), (b * ts, ts - b * ts)))
     return total
+
+
+def _make_combine_kernel(ts: int, n: int, ext2: int):
+    """Combine kernel body: one (p, ts-row strip, a) grid step adds the
+    two column-colour contributions of row-colour ``a`` into the cropped
+    (P, N, N) re/im grid planes.
+
+    Colour (a, b)'s plane occupies grid rows [a*ts, a*ts + ext2) x cols
+    [b*ts, b*ts + ext2) (see :func:`grid_chunks_fused`); a ts-row output
+    strip therefore reads one ts-row strip of each plane (the row shift
+    is exactly one block, done in the BlockSpec index map) and the b=1
+    column shift is a STATIC ts-lane placement.  Occupancy arrives
+    pre-expanded to lanes ((2, 2, nt2, ext2) f32 0/1) and is applied
+    with a select so uninitialized slots cannot leak NaNs."""
+
+    def kernel(ar0_ref, ar1_ref, ai0_ref, ai1_ref, ox0_ref, ox1_ref,
+               gr_ref, gi_ref):
+        i = pl.program_id(1)
+        a = pl.program_id(2)
+
+        def sel(blk_ref, ox_ref):
+            m = ox_ref[0, 0, 0, 0] > 0.5
+            return jnp.where(m[None, :], blk_ref[0, 0, 0],
+                             jnp.zeros((), jnp.float32))
+
+        def shift1(x):
+            # plane cols [0, n - ts) land at grid cols [ts, n)
+            return jnp.pad(x[:, :n - ts], ((0, 0), (ts, 0)))
+
+        # Row strips above a*ts have no row-colour-a contribution (their
+        # clamped index map re-reads strip 0; mask it out entirely).
+        ok = (i >= a)
+        zero = jnp.zeros((), jnp.float32)
+        c0r = jnp.where(ok, sel(ar0_ref, ox0_ref)[:, :n], zero)
+        c1r = jnp.where(ok, shift1(sel(ar1_ref, ox1_ref)), zero)
+        c0i = jnp.where(ok, sel(ai0_ref, ox0_ref)[:, :n], zero)
+        c1i = jnp.where(ok, shift1(sel(ai1_ref, ox1_ref)), zero)
+
+        # Accumulate in the SAME order as the XLA combine's sequential
+        # colour adds (((p00 + p01) + p10) + p11), so the two paths
+        # stay bitwise-identical at f32.
+        @pl.when(a == 0)
+        def _():
+            gr_ref[0] = c0r + c1r
+            gi_ref[0] = c0i + c1i
+
+        @pl.when(a != 0)
+        def _():
+            gr_ref[0] = (gr_ref[0] + c0r) + c1r
+            gi_ref[0] = (gi_ref[0] + c0i) + c1i
+
+    return kernel
+
+
+def combine_planes_fused(accr, acci, occ, *, pixels: int, ts: int,
+                         interpret: bool | None = None):
+    """Fused colour-plane combine: (accr, acci, occ) -> cropped
+    (P, N, N) f32 ``(gr, gi)`` grid planes.
+
+    Replaces the XLA combine of :func:`grid_chunks_fused` for callers
+    that want the FFT-input layout directly (no (P, ext, ext) complex64
+    materialization, no real/imag re-split): the round-5 sweep-C device
+    profile put the XLA combine class at ~10% of the production step,
+    far above its ~1 ms memory-speed cost.  NOTE: returns only the
+    chunk contribution over the N x N crop — callers with a non-zero
+    base grid add it themselves (the cube path's base is zero)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, _, Pp, ext2, _ = accr.shape
+    TS2 = 2 * ts
+    nt2 = ext2 // TS2
+    n = pixels
+    assert n % ts == 0 and n <= ext2
+    # Singleton sublane axis: TPU lowering requires the block's last two
+    # dims divisible by (8, 128) or equal to the array dims.
+    occx = jnp.repeat(occ.astype(jnp.float32), TS2, axis=-1)[..., None, :]
+    nr = n // ts
+
+    def im_acc(bi):
+        def f(p, i, a):
+            return (a, bi, p, jnp.maximum(i - a, 0), 0)
+        return f
+
+    def im_occ(bi):
+        def f(p, i, a):
+            return (a, bi, jnp.maximum((i - a) // 2, 0), 0, 0)
+        return f
+
+    def im_out(p, i, a):
+        return (p, i, 0)
+
+    gr, gi = pl.pallas_call(
+        _make_combine_kernel(ts, n, ext2),
+        grid=(Pp, nr, 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, ts, ext2), im_acc(0)),
+            pl.BlockSpec((1, 1, 1, ts, ext2), im_acc(1)),
+            pl.BlockSpec((1, 1, 1, ts, ext2), im_acc(0)),
+            pl.BlockSpec((1, 1, 1, ts, ext2), im_acc(1)),
+            pl.BlockSpec((1, 1, 1, 1, ext2), im_occ(0)),
+            pl.BlockSpec((1, 1, 1, 1, ext2), im_occ(1)),
+        ],
+        out_specs=[pl.BlockSpec((1, ts, n), im_out),
+                   pl.BlockSpec((1, ts, n), im_out)],
+        out_shape=[jax.ShapeDtypeStruct((Pp, n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((Pp, n, n), jnp.float32)],
+        interpret=interpret,
+    )(accr, accr, acci, acci, occx, occx)
+    return gr, gi
+
+
+def grid_chunks_fused_parts(kernel, weights_grid, plan_uv, plan_sub,
+                            plan_wp, plan_vis, plan_anchor, plan_valid,
+                            dw_chunks=None, n_chunks=None, *, pixels: int,
+                            ts: int, interpret: bool | None = None):
+    """Fused gridder returning cropped (P, N, N) f32 ``(gr, gi)`` planes
+    — the fused-FFT input layout — via :func:`combine_planes_fused`
+    (no complex64 grid materialization; zero base grid)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Pp = plan_vis.shape[-1]
+    accr, acci, occ = _grid_chunks_planes(
+        kernel, weights_grid, plan_uv, plan_sub, plan_wp, plan_vis,
+        plan_anchor, plan_valid, dw_chunks, n_chunks,
+        pixels=pixels, ts=ts, num_pols=Pp, interpret=interpret)
+    return combine_planes_fused(accr, acci, occ, pixels=pixels, ts=ts,
+                                interpret=interpret)
 
 
 def _make_degrid_kernel(num_pols: int, wo: int, ts2: int, ts2l: int,
@@ -654,16 +801,19 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
                         ts: int, interpret: bool | None = None):
     """Fused-Pallas model prediction for tiled chunk plans.
 
-    ``grid`` is the (P, >=N, >=N) complex model grid (any padding; it is
+    ``grid`` is the (P, >=N, >=N) complex model grid — or an f32
+    ``(gre, gim)`` pair (the :func:`.pallas_fft.image_to_grid_fused_parts`
+    output, avoiding the complex64 round-trip).  Any padding; it is
     re-padded to ``dense_pad_size`` here so every anchor's 2-tile window
-    is in range).  Returns predicted (NC, Mc, P) complex64 (callers mask
+    is in range.  Returns predicted (NC, Mc, P) complex64 (callers mask
     by ``valid`` and apply weights)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K = kernel.shape[-1]
     W, O = kernel.shape[0], kernel.shape[1]
     Np = pixels
-    Pp = grid.shape[0]
+    parts = isinstance(grid, tuple)
+    Pp = (grid[0] if parts else grid).shape[0]
     NC, Mc = plan_wp.shape
     TS2 = 2 * ts
     assert K + ts - 1 <= TS2, "kernel must fit the 2-tile band window"
@@ -676,10 +826,18 @@ def degrid_chunks_fused(grid, kernel, plan_uv, plan_sub, plan_wp,
     from .mxu_gridder import dense_pad_size
 
     ext = dense_pad_size(Np, ts)
-    gpad = jnp.pad(grid, ((0, 0), (0, ext - grid.shape[1]),
-                          (0, ext + (TS2L - TS2) - grid.shape[2])))
-    gre = jnp.real(gpad).astype(jnp.float32)
-    gim = jnp.imag(gpad).astype(jnp.float32)
+
+    def padg(g):
+        return jnp.pad(g, ((0, 0), (0, ext - g.shape[1]),
+                           (0, ext + (TS2L - TS2) - g.shape[2])))
+
+    if parts:
+        gre = padg(grid[0].astype(jnp.float32))
+        gim = padg(grid[1].astype(jnp.float32))
+    else:
+        gpad = padg(grid)
+        gre = jnp.real(gpad).astype(jnp.float32)
+        gim = jnp.imag(gpad).astype(jnp.float32)
 
     uv_bias = (K - 1) // 2 - Np // 2
     iu = (plan_wp.astype(jnp.int32) * O + plan_sub[..., 0].astype(jnp.int32))

@@ -37,7 +37,8 @@ from jax.sharding import Mesh, PartitionSpec as P  # noqa: N817
 from ..ops import clean as clean_ops
 from ..ops import mxu_gridder
 from ..ops.fourier import (grid_to_image_batched_impl, grid_to_image_impl,
-                           image_to_grid_impl)
+                           grid_to_image_parts_impl, image_to_grid_impl,
+                           image_to_grid_parts_impl)
 from .slices import scan_slices
 
 
@@ -134,6 +135,19 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
             pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
         return psum(gpad[:, :N, :N])
 
+    def one_grid_parts(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s):
+        # f32 re/im planes straight from the gridder's fused combine into
+        # the fused FFT — no complex64 grid materialization per slice.
+        gr, gi = mxu_gridder.grid_chunks_parts_impl(
+            kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
+            None, nc_s,
+            pixels=N, ts=cfg.rv, assembly=mxu_gridder.default_assembly())
+        return psum(gr), psum(gi)
+
+    # The parts pipeline is f32 MXU code (same gate as _use_pallas_fft);
+    # --precision double keeps the complex path.
+    use_parts = taper1d.dtype == jnp.float32
+
     # Completely empty w-slices skip the whole slice body (tile init, grid
     # psum, FFT, W-correction): a zero grid contributes exactly zero to
     # the dirty accumulation, so the skip is bitwise-neutral.  nc_slices
@@ -161,6 +175,12 @@ def _grid_slices(cfg: CubeConfig, kernel, density, uv, sub_uv, w_plane,
         uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
 
         def do(dirty):
+            if use_parts:
+                gr, gi = one_grid_parts(uv_s, sub_s, wp_s, anc_s, val_s,
+                                        vis_s, nc_s)
+                return grid_to_image_parts_impl(gr, gi, dirty, taper1d,
+                                                w_mid, pixel_size,
+                                                pixels=N)
             grid = one_grid(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s)
             return grid_to_image_impl(grid, dirty, taper1d, w_mid,
                                       pixel_size, pixels=N)
@@ -181,13 +201,23 @@ def _degrid_slices(cfg: CubeConfig, kernel, model, uv, sub_uv, w_plane,
     if nc_slices is None:
         nc_slices = _nc_slices_of(valid)
 
+    use_parts = taper1d.dtype == jnp.float32
+
     def body(_, xs):
         uv_s, sub_s, wp_s, anc_s, val_s, wt_s, vis_s, w_mid, nc_s = xs
 
         def do():
-            grid = image_to_grid_impl(model, taper1d, w_mid, pixel_size,
-                                      pixels=N)
-            gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
+            if use_parts:
+                # f32 planes from the fused FFT straight into the fused
+                # degrid window DMA (no complex64 model grid).
+                gr, gi = image_to_grid_parts_impl(model, taper1d, w_mid,
+                                                  pixel_size, pixels=N)
+                pad = ((0, 0), (0, cfg.rv), (0, cfg.ru))
+                gpad = (jnp.pad(gr, pad), jnp.pad(gi, pad))
+            else:
+                grid = image_to_grid_impl(model, taper1d, w_mid,
+                                          pixel_size, pixels=N)
+                gpad = jnp.pad(grid, ((0, 0), (0, cfg.rv), (0, cfg.ru)))
             return mxu_gridder.degrid_chunks_impl(
                 gpad, kernel, uv_s, sub_s, wp_s, wt_s, vis_s, anc_s, val_s,
                 nc_s,

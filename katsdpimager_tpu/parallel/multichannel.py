@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import clean as clean_ops
 from ..ops import mxu_gridder
 from ..ops.fourier import (grid_to_image_batched_impl,
-                           grid_to_image_impl)
+                           grid_to_image_impl, grid_to_image_parts_impl)
 from .slices import scan_slices
 
 
@@ -138,6 +138,12 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
 
     batch_slices = os.environ.get("KTPU_BATCH_SLICES", "0") == "1"
 
+    # The f32 parts pipeline (fused combine -> fused FFT, no complex64
+    # grid materialization) — same gate as _use_pallas_fft; double
+    # precision keeps the complex path.
+    use_parts = (taper1d.dtype == jnp.float32
+                 and vis.dtype == jnp.complex64)
+
     def image_of(vis_like):
         def grid_slice(uv_s, sub_s, wp_s, anc_s, val_s, vis_s, nc_s):
             ext = mxu_gridder.dense_pad_size(N, cfg.rv)
@@ -148,6 +154,14 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
                 pixels=N, ts=cfg.rv,
                 assembly=mxu_gridder.default_assembly())
             return psum(gpad[:, :N, :N])
+
+        def grid_slice_parts(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
+                             nc_s):
+            gr, gi = mxu_gridder.grid_chunks_parts_impl(
+                kernel, density, uv_s, sub_s, wp_s, vis_s, anc_s, val_s,
+                None, nc_s, pixels=N, ts=cfg.rv,
+                assembly=mxu_gridder.default_assembly())
+            return psum(gr), psum(gi)
 
         dirty0 = jnp.zeros((Pp, N, N), taper1d.dtype)
         if batch_slices:
@@ -173,6 +187,12 @@ def _channel_pipeline(cfg: MultiChannelConfig, kernel, taper1d, pixel_size,
             uv_s, sub_s, wp_s, anc_s, val_s, vis_s, w_mid, nc_s = xs
 
             def do(dirty):
+                if use_parts:
+                    gr, gi = grid_slice_parts(uv_s, sub_s, wp_s, anc_s,
+                                              val_s, vis_s, nc_s)
+                    return grid_to_image_parts_impl(
+                        gr, gi, dirty, taper1d, w_mid, pixel_size,
+                        pixels=N)
                 grid = grid_slice(uv_s, sub_s, wp_s, anc_s, val_s, vis_s,
                                   nc_s)
                 return grid_to_image_impl(grid, dirty, taper1d, w_mid,

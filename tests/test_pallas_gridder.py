@@ -110,6 +110,65 @@ def test_kstack_band_matches_gauss(monkeypatch):
     np.testing.assert_allclose(kstack, gauss, atol=2e-6 * scale)
 
 
+def test_parts_combine_matches_complex():
+    """grid_chunks_parts_impl (the fused Pallas combine -> cropped f32
+    re/im planes) bit-matches the complex grid_chunks_dense_impl crop."""
+    rng = np.random.default_rng(41)
+    _, out, (kernel, uv, sub, wp, vis, wg, plan) = run_pair(rng, n=1200)
+    pixels, ts = wg.shape[-1], 64
+    nc = mxu_gridder.occupied_chunks(jnp.asarray(plan.valid))
+    gr, gi = mxu_gridder.grid_chunks_parts_impl(
+        jnp.asarray(kernel), jnp.asarray(wg),
+        jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+        jnp.asarray(plan.w_plane), jnp.asarray(plan.vis),
+        jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+        None, nc, pixels=pixels, ts=ts, assembly="pallas")
+    crop = np.asarray(out)[:, :pixels, :pixels]
+    np.testing.assert_array_equal(np.asarray(gr), crop.real)
+    np.testing.assert_array_equal(np.asarray(gi), crop.imag)
+
+
+def test_parts_combine_multi_pol():
+    rng = np.random.default_rng(43)
+    _, out, (kernel, uv, sub, wp, vis, wg, plan) = run_pair(
+        rng, num_pols=2, n=700)
+    pixels, ts = wg.shape[-1], 64
+    nc = mxu_gridder.occupied_chunks(jnp.asarray(plan.valid))
+    gr, gi = mxu_gridder.grid_chunks_parts_impl(
+        jnp.asarray(kernel), jnp.asarray(wg),
+        jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+        jnp.asarray(plan.w_plane), jnp.asarray(plan.vis),
+        jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+        None, nc, pixels=pixels, ts=ts, assembly="pallas")
+    crop = np.asarray(out)[:, :pixels, :pixels]
+    np.testing.assert_array_equal(np.asarray(gr), crop.real)
+    np.testing.assert_array_equal(np.asarray(gi), crop.imag)
+
+
+def test_degrid_fused_parts_matches_complex():
+    """degrid_chunks_fused with an f32 (gre, gim) pair equals the
+    complex-grid call."""
+    rng = np.random.default_rng(47)
+    kernel, uv, sub, wp, vis, wg = make_case(rng, n=600)
+    pixels, K, ts = 512, kernel.shape[-1], 64
+    plan = mxu_gridder.plan_chunks_tiled(
+        uv, sub, wp, vis, np.ones_like(vis, np.float32), pixels=pixels,
+        kernel_width=K, ts=ts, mc=128)
+    nc = mxu_gridder.occupied_chunks(jnp.asarray(plan.valid))
+    grid = (rng.normal(size=(1, pixels, pixels))
+            + 1j * rng.normal(size=(1, pixels, pixels))
+            ).astype(np.complex64)
+    args = (jnp.asarray(kernel), jnp.asarray(plan.uv),
+            jnp.asarray(plan.sub_uv), jnp.asarray(plan.w_plane),
+            jnp.asarray(plan.anchor), nc)
+    a = pallas_gridder.degrid_chunks_fused(
+        jnp.asarray(grid), *args, pixels=pixels, ts=ts)
+    b = pallas_gridder.degrid_chunks_fused(
+        (jnp.asarray(grid.real), jnp.asarray(grid.imag)), *args,
+        pixels=pixels, ts=ts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_empty_plan_is_zero():
     """All-padding layout (n_chunks=0) must leave the grid untouched."""
     rng = np.random.default_rng(3)
