@@ -656,6 +656,11 @@ def combine_planes_fused(accr, acci, occ, *, pixels: int, ts: int,
     def im_out(p, i, a):
         return (p, i, 0)
 
+    # Mosaic's default 16 MiB scoped-VMEM cap is just short of the
+    # double-buffered block working set at 4k (measured 16.54 MiB on
+    # v5e): four (ts, ext2) input strips + two (ts, n) output strips,
+    # double-buffered, plus select temporaries.
+    vmem_mb = ((4 * ts * ext2 + 2 * ts * n) * 4 * 2) // (1 << 20) + 8
     gr, gi = pl.pallas_call(
         _make_combine_kernel(ts, n, ext2),
         grid=(Pp, nr, 2),
@@ -671,6 +676,8 @@ def combine_planes_fused(accr, acci, occ, *, pixels: int, ts: int,
                    pl.BlockSpec((1, ts, n), im_out)],
         out_shape=[jax.ShapeDtypeStruct((Pp, n, n), jnp.float32),
                    jax.ShapeDtypeStruct((Pp, n, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(16, vmem_mb) << 20),
         interpret=interpret,
     )(accr, accr, acci, acci, occx, occx)
     return gr, gi
