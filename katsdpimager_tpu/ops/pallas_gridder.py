@@ -658,9 +658,11 @@ def combine_planes_fused(accr, acci, occ, *, pixels: int, ts: int,
 
     # Mosaic's default 16 MiB scoped-VMEM cap is just short of the
     # double-buffered block working set at 4k (measured 16.54 MiB on
-    # v5e): four (ts, ext2) input strips + two (ts, n) output strips,
-    # double-buffered, plus select temporaries.
-    vmem_mb = ((4 * ts * ext2 + 2 * ts * n) * 4 * 2) // (1 << 20) + 8
+    # v5e; 32.54 at 8k): four (ts, ext2) input strips + two (ts, n)
+    # output strips, double-buffered, plus ~4 MiB of select temporaries
+    # and occupancy blocks — 12 MiB of slack covers both measured
+    # points with margin.
+    vmem_mb = ((4 * ts * ext2 + 2 * ts * n) * 4 * 2) // (1 << 20) + 12
     gr, gi = pl.pallas_call(
         _make_combine_kernel(ts, n, ext2),
         grid=(Pp, nr, 2),
