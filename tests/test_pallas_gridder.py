@@ -145,6 +145,30 @@ def test_parts_combine_multi_pol():
     np.testing.assert_array_equal(np.asarray(gi), crop.imag)
 
 
+def test_parts_pol_split_matches_joint(monkeypatch):
+    """grid_chunks_parts_impl's per-pol accumulator split (8k IQUV
+    path) matches the joint parts call."""
+    rng = np.random.default_rng(53)
+    _, _, (kernel, uv, sub, wp, vis, wg, plan) = run_pair(
+        rng, num_pols=4, n=700)
+    pixels, ts = wg.shape[-1], 64
+    nc = mxu_gridder.occupied_chunks(jnp.asarray(plan.valid))
+    args = (jnp.asarray(kernel), jnp.asarray(wg),
+            jnp.asarray(plan.uv), jnp.asarray(plan.sub_uv),
+            jnp.asarray(plan.w_plane), jnp.asarray(plan.vis),
+            jnp.asarray(plan.anchor), jnp.asarray(plan.valid),
+            None, nc)
+    joint = mxu_gridder.grid_chunks_parts_impl(
+        *args, pixels=pixels, ts=ts, assembly="pallas")
+    monkeypatch.setenv("KTPU_PALLAS_MAX_ACC_GB", "0.0001")
+    split = mxu_gridder.grid_chunks_parts_impl(
+        *args, pixels=pixels, ts=ts, assembly="pallas")
+    scale = max(float(np.max(np.abs(np.asarray(joint[0])))), 1e-9)
+    for j, s in zip(joint, split):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(j),
+                                   atol=2e-6 * scale)
+
+
 def test_degrid_fused_parts_matches_complex():
     """degrid_chunks_fused with an f32 (gre, gim) pair equals the
     complex-grid call."""
