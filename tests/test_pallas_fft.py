@@ -83,3 +83,29 @@ def test_env_routing(monkeypatch):
     assert not fourier._use_pallas_fft(256, np.complex128)
     assert not fourier._use_pallas_fft(192, np.float32)
     assert fourier._use_pallas_fft(256, np.float32, np.complex64)
+
+
+def test_parts_impls_match(monkeypatch):
+    """The f32-parts entry points (the gridder-combine/degrid layout)
+    match the complex impls on the fused path."""
+    rng = np.random.default_rng(9)
+    N = 256
+    gr = rng.normal(size=(1, N, N)).astype(np.float32)
+    gi = rng.normal(size=(1, N, N)).astype(np.float32)
+    img = rng.normal(size=(1, N, N)).astype(np.float32)
+    k1d = (0.5 + rng.uniform(0.2, 1.0, size=N)).astype(np.float32)
+    w, ps = 21.0, 1.0 / (N * 16)
+    monkeypatch.setenv("KTPU_FFT", "pallas")
+    ref = np.asarray(fourier.grid_to_image_impl(
+        jnp.asarray(gr + 1j * gi), jnp.asarray(img), jnp.asarray(k1d),
+        w, ps, pixels=N))
+    got = np.asarray(fourier.grid_to_image_parts_impl(
+        jnp.asarray(gr), jnp.asarray(gi), jnp.asarray(img),
+        jnp.asarray(k1d), w, ps, pixels=N))
+    np.testing.assert_array_equal(got, ref)
+    gref = np.asarray(fourier.image_to_grid_impl(
+        jnp.asarray(img), jnp.asarray(k1d), w, ps, pixels=N))
+    pr, pi = fourier.image_to_grid_parts_impl(
+        jnp.asarray(img), jnp.asarray(k1d), w, ps, pixels=N)
+    np.testing.assert_array_equal(np.asarray(pr), gref.real)
+    np.testing.assert_array_equal(np.asarray(pi), gref.imag)
